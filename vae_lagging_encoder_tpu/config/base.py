@@ -1,0 +1,135 @@
+"""Per-dataset experiment configuration.
+
+Parity: <ref>config/config_{yahoo,yelp,omniglot,synthetic}.py §params — the
+reference keeps a module-level ``params`` dict per dataset, merged into the
+argparse namespace via importlib (CLI flags win). We mirror that with a typed
+dataclass registry (``DATASET_CONFIGS``) merged the same way by the CLIs
+(flags win; see cli/common.py). Flag names are kept reference-compatible:
+``--dataset --aggressive --kl_start --warm_up --nsamples --iw_nsamples
+--seed --eval --load_path`` (SURVEY.md §5 config row).
+
+Hyperparameter values follow SURVEY.md §2 (conf MED on exact constants):
+text ≈ {ni 512, enc_nh 1024, dec_nh 1024, nz 32, batch 32, epochs 100,
+dec dropout 0.5}; omniglot ≈ {batch 50, epochs 500, nz 32}; synthetic uses
+small nets with nz=1 for the posterior-mean-space tracing.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass
+class ExperimentConfig:
+    # --- identity -----------------------------------------------------
+    dataset: str = "yahoo"
+    model_type: str = "text"  # "text" (LSTM enc/dec) | "image" (ResNet+PixelCNN)
+
+    # --- data ---------------------------------------------------------
+    train_data: str = "datasets/yahoo_data/yahoo.train.txt"
+    val_data: str = "datasets/yahoo_data/yahoo.valid.txt"
+    test_data: str = "datasets/yahoo_data/yahoo.test.txt"
+    batch_size: int = 32
+    # TPU-first additions (no reference equivalent): pad+bucket batching
+    # replaces the reference's length-homogeneous batches so step shapes are
+    # static and few (SURVEY.md §7 step 1).
+    length_buckets: Tuple[int, ...] = (16, 32, 48, 64, 96, 128, 192, 256, 384, 512)
+
+    # --- model (text) ---------------------------------------------------
+    ni: int = 512       # word-embedding dim
+    enc_nh: int = 1024  # encoder LSTM hidden dim
+    dec_nh: int = 1024  # decoder LSTM hidden dim
+    nz: int = 32        # latent dim
+    dec_dropout_in: float = 0.5
+    dec_dropout_out: float = 0.5
+
+    # --- model (image) --------------------------------------------------
+    img_size: Tuple[int, int, int] = (28, 28, 1)
+    enc_layers: Tuple[int, ...] = (64, 64, 64)   # ResNet block widths
+    dec_kernel_size: int = 7                     # PixelCNN first-layer kernel
+    dec_layers: int = 8                          # PixelCNN depth
+    dec_filters: int = 64                        # PixelCNN width
+
+    # --- training -------------------------------------------------------
+    epochs: int = 100
+    lr: float = 1.0               # SGD lr 1.0, separate enc/dec optimizers
+    momentum: float = 0.0
+    clip_grad: float = 5.0        # global-norm clip over ALL params
+    kl_start: float = 0.1         # KL-annealing start weight
+    warm_up: int = 10             # epochs to anneal KL weight to 1.0
+    aggressive: bool = False      # the paper's lagging-encoder inner loop
+    burn_max_iters: int = 100     # inner-loop hard cap (sub-iters)
+    burn_window: int = 15         # plateau window (sub-iters per check)
+    decay_epoch: int = 2          # epochs without val improvement before LR decay
+    lr_decay: float = 0.5
+    max_decay: int = 5            # stop after this many decays
+    momentum_decay: bool = False
+    nsamples: int = 1             # z samples per x during training
+    seed: int = 783435
+
+    # --- evaluation -------------------------------------------------------
+    iw_nsamples: int = 500        # importance-weighted NLL samples
+    iw_batch: int = 100           # IW chunk size (ns in <ref>vae.nll_iw)
+    eval: bool = False
+    load_path: str = ""
+    test_nepoch: int = 5          # eval-on-test cadence (epochs)
+
+    # --- bookkeeping -------------------------------------------------------
+    log_niter: int = 50
+    save_path: str = ""
+    exp_dir: str = ""
+    label: bool = False           # reference keeps sentence labels around; unused by training
+
+    # --- TPU-first additions ---------------------------------------------
+    compute_dtype: str = "float32"   # "float32" | "bfloat16" (matmul inputs)
+    use_pallas: bool = False         # fused Pallas LSTM recurrent kernel
+    dp_devices: int = 1              # data-parallel shards over the mesh
+    jit_aggressive: bool = True      # inner loop as on-device lax.while_loop
+    device_pool: bool = True         # stage the train set on device for the inner loop
+
+    def replace(self, **kw) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _text_cfg(name: str, **kw) -> ExperimentConfig:
+    base = dict(
+        dataset=name,
+        model_type="text",
+        train_data=f"datasets/{name}_data/{name}.train.txt",
+        val_data=f"datasets/{name}_data/{name}.valid.txt",
+        test_data=f"datasets/{name}_data/{name}.test.txt",
+    )
+    base.update(kw)
+    return ExperimentConfig(**base)
+
+
+DATASET_CONFIGS = {
+    # <ref>config/config_yahoo.py §params
+    "yahoo": _text_cfg("yahoo", ni=512, enc_nh=1024, dec_nh=1024, nz=32,
+                       batch_size=32, epochs=100, warm_up=10, kl_start=0.1),
+    # <ref>config/config_yelp.py §params
+    "yelp": _text_cfg("yelp", ni=512, enc_nh=1024, dec_nh=1024, nz=32,
+                      batch_size=32, epochs=100, warm_up=10, kl_start=0.1),
+    # <ref>config/config_synthetic.py §params — small nets, nz=1 for the
+    # posterior-mean-space tracing experiment.
+    "synthetic": _text_cfg("synthetic", ni=50, enc_nh=50, dec_nh=50, nz=1,
+                           batch_size=32, epochs=40, warm_up=10, kl_start=0.1,
+                           dec_dropout_in=0.0, dec_dropout_out=0.0,
+                           length_buckets=(8, 16, 24, 32, 48, 64)),
+    # <ref>config/config_omniglot.py §params
+    "omniglot": ExperimentConfig(
+        dataset="omniglot", model_type="image",
+        train_data="datasets/omniglot_data/omniglot.pt",
+        val_data="", test_data="",
+        batch_size=50, epochs=500, nz=32, warm_up=10, kl_start=0.1,
+        dec_dropout_in=0.0, dec_dropout_out=0.0,
+    ),
+}
+
+
+def get_config(dataset: str, **overrides) -> ExperimentConfig:
+    """Look up the per-dataset config and apply CLI overrides (flags win)."""
+    if dataset not in DATASET_CONFIGS:
+        raise KeyError(f"unknown dataset {dataset!r}; known: {sorted(DATASET_CONFIGS)}")
+    return DATASET_CONFIGS[dataset].replace(**overrides)

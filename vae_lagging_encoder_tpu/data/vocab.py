@@ -1,0 +1,71 @@
+"""Vocabulary with the reference's special tokens.
+
+Parity: <ref>data/ §VocabEntry — word2id/id2word built from the *train* file
+only and reused for val/test; specials ``<pad> <unk> <s> </s>``; unknown
+words at val/test time map to ``<unk>`` (SURVEY.md §2 text-data row).
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterable, List
+
+PAD, UNK, BOS, EOS = "<pad>", "<unk>", "<s>", "</s>"
+PAD_ID, UNK_ID, BOS_ID, EOS_ID = 0, 1, 2, 3
+_SPECIALS = (PAD, UNK, BOS, EOS)
+
+
+class Vocab:
+    def __init__(self, word2id: Dict[str, int]):
+        for i, sp in enumerate(_SPECIALS):
+            if word2id.get(sp) != i:
+                raise ValueError(f"special {sp!r} must have id {i}")
+        self.word2id = word2id
+        self.id2word_ = [None] * len(word2id)
+        for w, i in word2id.items():
+            self.id2word_[i] = w
+
+    # --- construction -------------------------------------------------
+    @classmethod
+    def from_corpus(cls, sentences: Iterable[List[str]], max_size: int | None = None,
+                    min_freq: int = 1) -> "Vocab":
+        counts: Dict[str, int] = {}
+        for sent in sentences:
+            for w in sent:
+                counts[w] = counts.get(w, 0) + 1
+        word2id = {sp: i for i, sp in enumerate(_SPECIALS)}
+        # Deterministic order: frequency desc, then lexicographic.
+        ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, c in ordered:
+            if w in word2id or c < min_freq:
+                continue
+            if max_size is not None and len(word2id) >= max_size + len(_SPECIALS):
+                break
+            word2id[w] = len(word2id)
+        return cls(word2id)
+
+    @classmethod
+    def from_file(cls, path: str, **kw) -> "Vocab":
+        with open(path) as fh:
+            return cls.from_corpus((line.split() for line in fh), **kw)
+
+    # --- lookup ---------------------------------------------------------
+    def __len__(self) -> int:
+        return len(self.word2id)
+
+    def __getitem__(self, word: str) -> int:
+        return self.word2id.get(word, UNK_ID)
+
+    def id2word(self, wid: int) -> str:
+        return self.id2word_[wid]
+
+    def encode(self, words: List[str]) -> List[int]:
+        """<s> w1 ... wn </s> as ids (reference wraps every sentence)."""
+        return [BOS_ID] + [self[w] for w in words] + [EOS_ID]
+
+    def decode(self, ids: Iterable[int], strip_specials: bool = True) -> List[str]:
+        out = []
+        for i in ids:
+            w = self.id2word_[i]
+            if strip_specials and w in _SPECIALS:
+                continue
+            out.append(w)
+        return out
