@@ -1,0 +1,237 @@
+"""LSTM decoder p(x|z) for text.
+
+Parity: <ref>modules/decoders/dec_lstm.py §LSTMDecoder (SURVEY.md §2):
+- embedding with dropout_in;
+- z → Linear(nz, dec_nh) → c0, h0 = tanh(c0);
+- **z concatenated to the word embedding at every timestep** (LSTM input
+  dim ni + nz);
+- dropout_out on LSTM outputs, Linear(dec_nh, V, bias=False) logits;
+- ``reconstruct_error`` = token-summed masked cross-entropy per sentence;
+- greedy / sample / beam-search decoding.
+
+TPU-first notes:
+- the input projection (incl. the z concat) is hoisted into one MXU matmul
+  (lstm_core.lstm_run);
+- the big [N*T, nh] @ [nh, V] logit matmul + CE runs as one fused batched
+  op; for the 500-sample IW evaluation the z-sample axis is processed in
+  ``lax.map`` chunks under ``jax.checkpoint`` so peak HBM stays bounded
+  (SURVEY.md §7 hard part 4);
+- greedy/sampling decode loops are on-device ``lax.fori_loop``s with static
+  max length; beam search stays host-side (parity with the reference's
+  host loops, off the training path — SURVEY.md §7 hard part 7).
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.vocab import BOS_ID, EOS_ID, PAD_ID
+from .lstm_core import init_lstm_params, lstm_cell, lstm_run, uniform
+
+
+def _dropout(key, x, rate: float, train: bool):
+    if not train or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+class LSTMDecoder:
+    def __init__(self, vocab_size: int, ni: int, nh: int, nz: int,
+                 dropout_in: float = 0.5, dropout_out: float = 0.5,
+                 compute_dtype=jnp.float32, iw_chunk: int = 10):
+        self.vocab_size = vocab_size
+        self.ni = ni
+        self.nh = nh
+        self.nz = nz
+        self.dropout_in = dropout_in
+        self.dropout_out = dropout_out
+        self.compute_dtype = compute_dtype
+        # z-sample chunk for reconstruct_error when K is large (IW eval):
+        # peak logits tensor is [B*iw_chunk, T, V].
+        self.iw_chunk = iw_chunk
+
+    def init(self, key) -> Dict:
+        k_emb, k_lstm, k_trans, k_pred = jax.random.split(key, 4)
+        return {
+            "emb": uniform(k_emb, (self.vocab_size, self.ni), 0.1),
+            "lstm": init_lstm_params(k_lstm, self.ni + self.nz, self.nh, 0.01),
+            # <ref>dec_lstm.py §trans_linear: Linear(nz, dec_nh) [MED: bias-free]
+            "trans": uniform(k_trans, (self.nz, self.nh), 0.01),
+            # <ref>dec_lstm.py §pred_linear: Linear(dec_nh, V, bias=False)
+            "pred": uniform(k_pred, (self.nh, self.vocab_size), 0.01),
+        }
+
+    # ------------------------------------------------------------------
+    def _init_state(self, params, z_flat: jnp.ndarray):
+        """z [N, nz] → (h0, c0): c0 = z @ trans, h0 = tanh(c0)."""
+        c0 = jnp.dot(z_flat, params["trans"], preferred_element_type=jnp.float32)
+        return jnp.tanh(c0), c0
+
+    def _hidden_states(self, params, tokens_in: jnp.ndarray, z: jnp.ndarray,
+                       key_in: Optional[jax.Array], train: bool) -> jnp.ndarray:
+        """tokens_in [B, T], z [B, K, nz] → LSTM outputs [B*K, T, nh].
+
+        Rows are ordered z-major then batch: row n = (k * B + b) — i.e. the
+        K copies of the batch are stacked, matching a reshape of
+        [K, B, ...] → [K*B, ...].
+        """
+        B, T = tokens_in.shape
+        K = z.shape[1]
+        emb = params["emb"][tokens_in]  # [B, T, ni]
+        if key_in is not None:
+            emb = _dropout(key_in, emb, self.dropout_in, train)
+
+        # expand to K z-samples: [K*B, T, ni+nz]
+        emb_k = jnp.broadcast_to(emb[None], (K, B, T, self.ni)).reshape(K * B, T, self.ni)
+        z_flat = z.transpose(1, 0, 2).reshape(K * B, self.nz)
+        z_seq = jnp.broadcast_to(z_flat[:, None, :], (K * B, T, self.nz))
+        inp = jnp.concatenate([emb_k, z_seq], axis=-1)
+
+        h0, c0 = self._init_state(params, z_flat)
+        outs, _ = lstm_run(params["lstm"], inp, mask=None, h0=h0, c0=c0,
+                           compute_dtype=self.compute_dtype)
+        return outs  # [K*B, T, nh]
+
+    def decode(self, params, tokens_in: jnp.ndarray, z: jnp.ndarray,
+               key: Optional[jax.Array] = None, train: bool = False) -> jnp.ndarray:
+        """Teacher-forced logits: tokens_in [B, T], z [B, K, nz] → [B, K, T, V].
+
+        Parity: <ref>dec_lstm.py §decode.
+        """
+        B, T = tokens_in.shape
+        K = z.shape[1]
+        key_in, key_out = jax.random.split(key) if key is not None else (None, None)
+        outs = self._hidden_states(params, tokens_in, z, key_in, train)
+        if train and key_out is not None:
+            outs = _dropout(key_out, outs, self.dropout_out, train)
+        logits = jnp.dot(outs.reshape(-1, self.nh).astype(self.compute_dtype),
+                         params["pred"].astype(self.compute_dtype),
+                         preferred_element_type=jnp.float32)
+        return logits.reshape(K, B, T, self.vocab_size).transpose(1, 0, 2, 3)
+
+    # ------------------------------------------------------------------
+    def reconstruct_error(self, params, tokens: jnp.ndarray, mask: jnp.ndarray,
+                          z: jnp.ndarray, key: Optional[jax.Array] = None,
+                          train: bool = False) -> jnp.ndarray:
+        """-log p(x|z) per (sentence, z-sample): [B, K].
+
+        tokens [B, T] = <s> w1..wn </s> pad..; mask [B, T]. Inputs are
+        tokens[:, :-1], targets tokens[:, 1:], target mask mask[:, 1:] —
+        the token-summed masked CE of <ref>dec_lstm.py §reconstruct_error.
+        """
+        B, T = tokens.shape
+        K = z.shape[1]
+
+        def rec_chunk(z_chunk):  # [B, k, nz] -> [B, k]
+            k = z_chunk.shape[1]
+            logits = self.decode(params, tokens[:, :-1], z_chunk, key, train)
+            logp = jax.nn.log_softmax(logits, axis=-1)  # [B, k, T-1, V]
+            tgt = jnp.broadcast_to(tokens[:, None, 1:], (B, k, T - 1))
+            tok_lp = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+            return -jnp.sum(tok_lp * mask[:, None, 1:], axis=-1)
+
+        if K <= self.iw_chunk:
+            return rec_chunk(z)
+        # Chunk the z-sample axis to bound peak logits memory; checkpoint so
+        # the backward pass (not needed at eval, but harmless) recomputes.
+        # Non-divisible K is padded with dummy samples and sliced off.
+        n_chunks = -(-K // self.iw_chunk)
+        K_pad = n_chunks * self.iw_chunk
+        if K_pad != K:
+            z = jnp.concatenate(
+                [z, jnp.zeros((B, K_pad - K, self.nz), z.dtype)], axis=1)
+        zc = z.reshape(B, n_chunks, self.iw_chunk, self.nz)
+        out = jax.lax.map(jax.checkpoint(lambda zk: rec_chunk(zk)),
+                          zc.transpose(1, 0, 2, 3))  # [n_chunks, B, c]
+        return out.transpose(1, 0, 2).reshape(B, K_pad)[:, :K]
+
+    def log_probability(self, params, tokens, mask, z) -> jnp.ndarray:
+        """log p(x|z): [B, K]. Parity: <ref>dec_lstm.py §log_probability."""
+        return -self.reconstruct_error(params, tokens, mask, z)
+
+    # ------------------------------------------------------------------
+    # Generation. Parity: <ref>dec_lstm.py §greedy_decode/§sample_decode/
+    # §beam_search_decode. Greedy/sample run fully on device.
+    def _generate(self, params, z: jnp.ndarray, key: Optional[jax.Array],
+                  max_len: int, greedy: bool) -> jnp.ndarray:
+        """z [N, nz] → token ids [N, max_len] (starts after <s>; pads after </s>)."""
+        N = z.shape[0]
+        h, c = self._init_state(params, z)
+        wx, wh, b = params["lstm"]["wx"], params["lstm"]["wh"], params["lstm"]["b"]
+
+        def step(carry, t):
+            h, c, tok, done, k = carry
+            x = jnp.concatenate([params["emb"][tok], z], axis=-1)
+            xw = jnp.dot(x, wx, preferred_element_type=jnp.float32) + b
+            h, c = lstm_cell(h, c, xw, wh, self.compute_dtype)
+            logits = jnp.dot(h, params["pred"], preferred_element_type=jnp.float32)
+            if greedy:
+                nxt = jnp.argmax(logits, axis=-1)
+            else:
+                k, sub = jax.random.split(k)
+                nxt = jax.random.categorical(sub, logits, axis=-1)
+            nxt = jnp.where(done, PAD_ID, nxt).astype(jnp.int32)
+            done = done | (nxt == EOS_ID)
+            return (h, c, nxt, done, k), nxt
+
+        init = (h, c, jnp.full((N,), BOS_ID, jnp.int32),
+                jnp.zeros((N,), bool), key if key is not None else jax.random.PRNGKey(0))
+        _, toks = jax.lax.scan(step, init, jnp.arange(max_len))
+        return toks.T  # [N, max_len]
+
+    def greedy_decode(self, params, z: jnp.ndarray, max_len: int = 100) -> jnp.ndarray:
+        return self._generate(params, z, None, max_len, greedy=True)
+
+    def sample_decode(self, params, key, z: jnp.ndarray, max_len: int = 100) -> jnp.ndarray:
+        return self._generate(params, z, key, max_len, greedy=False)
+
+    def beam_search_decode(self, params, z: jnp.ndarray, beam_width: int = 5,
+                           max_len: int = 100) -> List[List[int]]:
+        """Host-side beam search, one row of z at a time (parity with the
+        reference's BeamSearchNode loop; off the training path)."""
+        z = np.asarray(z)
+        results = []
+        step_fn = jax.jit(self._beam_step)
+        for n in range(z.shape[0]):
+            zn = jnp.asarray(z[n:n + 1])
+            h0, c0 = self._init_state(params, zn)
+            beams = [([BOS_ID], 0.0, (h0, c0))]  # (tokens, logp, state)
+            done: List[Tuple[List[int], float]] = []
+            for _ in range(max_len):
+                cand = []
+                for toks, lp, (h, c) in beams:
+                    logp, h2, c2 = step_fn(params, zn, jnp.asarray([toks[-1]]), h, c)
+                    logp = np.asarray(logp)[0]
+                    top = np.argpartition(-logp, beam_width)[:beam_width]
+                    for t in top:
+                        cand.append((toks + [int(t)], lp + float(logp[t]), (h2, c2)))
+                cand.sort(key=lambda x: -x[1])
+                beams = []
+                for toks, lp, st in cand[: beam_width * 2]:
+                    if toks[-1] == EOS_ID:
+                        done.append((toks, lp / len(toks)))
+                    else:
+                        beams.append((toks, lp, st))
+                    if len(beams) >= beam_width:
+                        break
+                if not beams or len(done) >= beam_width:
+                    break
+            if not done:
+                done = [(b[0], b[1] / len(b[0])) for b in beams]
+            done.sort(key=lambda x: -x[1])
+            results.append(done[0][0])
+        return results
+
+    def _beam_step(self, params, z, tok, h, c):
+        x = jnp.concatenate([params["emb"][tok], z], axis=-1)
+        xw = jnp.dot(x, params["lstm"]["wx"],
+                     preferred_element_type=jnp.float32) + params["lstm"]["b"]
+        h, c = lstm_cell(h, c, xw, params["lstm"]["wh"], self.compute_dtype)
+        logits = jnp.dot(h, params["pred"], preferred_element_type=jnp.float32)
+        return jax.nn.log_softmax(logits, axis=-1), h, c

@@ -1,0 +1,106 @@
+"""Shared LSTM machinery, TPU-first.
+
+Replaces the reference's use of ``nn.LSTM`` (cuDNN) in
+<ref>modules/encoders/enc_lstm.py and <ref>modules/decoders/dec_lstm.py.
+
+TPU design (SURVEY.md §7 step 2 + pallas_guide.md):
+- The input projection ``x @ Wx`` for the WHOLE sequence is hoisted out of
+  the recurrence into one large MXU matmul ([B*T, ni] @ [ni, 4H]) — that is
+  where the FLOPs are, and it tiles perfectly onto the 128x128 systolic
+  array. The ``lax.scan`` body is left with only the small recurrent matmul
+  ``h @ Wh`` plus fused elementwise gates (XLA fuses these into the matmul's
+  epilogue).
+- Variable length is handled by a *masked carry*: on padded steps the state
+  is held, so the final carry is exactly the state at each row's last real
+  token — the reference gets this for free from length-homogeneous batches.
+- An optional Pallas path (ops/lstm_pallas.py) keeps ``Wh`` resident in VMEM
+  across the whole scan instead of re-reading it from HBM every timestep.
+
+Gate order is (i, f, g, o) and the two PyTorch biases are algebraically
+merged into one (b = b_ih + b_hh); with the reference's uniform(-0.01, 0.01)
+init this is distribution-equivalent to the sum of two uniforms — we match
+the reference's *init recipe* (<ref>text.py §model init: uniform 0.01 for
+recurrent weights, uniform 0.1 for embeddings), not its RNG stream.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def uniform(key, shape, scale, dtype=jnp.float32):
+    return jax.random.uniform(key, shape, dtype, minval=-scale, maxval=scale)
+
+
+def init_lstm_params(key, input_dim: int, hidden_dim: int,
+                     scale: float = 0.01) -> Dict[str, jnp.ndarray]:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "wx": uniform(k1, (input_dim, 4 * hidden_dim), scale),
+        "wh": uniform(k2, (hidden_dim, 4 * hidden_dim), scale),
+        # merged b_ih + b_hh: sum of two U(-s, s) draws
+        "b": uniform(k3, (4 * hidden_dim,), scale) + uniform(jax.random.fold_in(k3, 1),
+                                                             (4 * hidden_dim,), scale),
+    }
+
+
+def lstm_cell(h, c, xw_t, wh, compute_dtype=jnp.float32):
+    """One LSTM step given the precomputed input projection ``xw_t``."""
+    gates = xw_t + jnp.dot(h.astype(compute_dtype), wh.astype(compute_dtype),
+                           preferred_element_type=jnp.float32)
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+def lstm_run(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
+             mask: Optional[jnp.ndarray] = None,
+             h0: Optional[jnp.ndarray] = None,
+             c0: Optional[jnp.ndarray] = None,
+             compute_dtype=jnp.float32,
+             unroll: int = 4) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Run the LSTM over a padded batch.
+
+    x: [B, T, input_dim]; mask: [B, T] (1 real / 0 pad) or None.
+    Returns (outputs [B, T, H], (h_T, c_T)) where h_T/c_T are the carries at
+    each row's final *real* token when a mask is given.
+    """
+    B, T, _ = x.shape
+    H = params["wh"].shape[0]
+    wh = params["wh"]
+    # Hoisted input projection: one big MXU matmul over the whole sequence.
+    xw = (jnp.dot(x.reshape(B * T, -1).astype(compute_dtype),
+                  params["wx"].astype(compute_dtype),
+                  preferred_element_type=jnp.float32)
+          .reshape(B, T, 4 * H) + params["b"]).transpose(1, 0, 2)  # [T, B, 4H]
+
+    if h0 is None:
+        h0 = jnp.zeros((B, H), jnp.float32)
+    if c0 is None:
+        c0 = jnp.zeros((B, H), jnp.float32)
+
+    if mask is not None:
+        m = mask.T[..., None]  # [T, B, 1]
+
+        def step(carry, inp):
+            h, c = carry
+            xw_t, m_t = inp
+            h_new, c_new = lstm_cell(h, c, xw_t, wh, compute_dtype)
+            h_keep = m_t * h_new + (1.0 - m_t) * h
+            c_keep = m_t * c_new + (1.0 - m_t) * c
+            return (h_keep, c_keep), h_new
+
+        (hT, cT), outs = jax.lax.scan(step, (h0, c0), (xw, m), unroll=unroll)
+    else:
+        def step(carry, xw_t):
+            h, c = carry
+            h_new, c_new = lstm_cell(h, c, xw_t, wh, compute_dtype)
+            return (h_new, c_new), h_new
+
+        (hT, cT), outs = jax.lax.scan(step, (h0, c0), xw, unroll=unroll)
+
+    return outs.transpose(1, 0, 2), (hT, cT)

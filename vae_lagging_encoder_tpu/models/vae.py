@@ -1,0 +1,157 @@
+"""VAE composition + every estimator the paper reports.
+
+Parity: <ref>modules/vae.py §VAE — encode, decode, loss (→ per-sentence
+loss/rec/KL), nll_iw (chunked importance-weighted NLL), KL, eval_prior_dist,
+eval_complete_ll, eval_inference_dist, calc_mi_q, sample_from_prior,
+reconstruct, calc_model_posterior_mean, calc_infer_mean (SURVEY.md §2).
+
+Everything is a pure function of (params, inputs, rng key), so any method
+can be jit-compiled, vmapped, differentiated, or embedded in the on-device
+aggressive ``lax.while_loop``. ``params`` is ``{"enc": ..., "dec": ...}`` —
+the enc/dec split is load-bearing for the paper's algorithm (separate
+optimizers, encoder-only inner updates; <ref>text.py §main two-optimizer
+setup).
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.numeric import log_sum_exp
+from .encoder import GaussianEncoderBase, gaussian_kl
+
+
+class VAE:
+    """Static composition of a Gaussian encoder and a conditional decoder.
+
+    ``x`` below is the modality's observation: for text, (tokens [B, T],
+    mask [B, T]); for images, (images [B, H, W, C], mask=None).
+    """
+
+    def __init__(self, encoder: GaussianEncoderBase, decoder):
+        self.encoder = encoder
+        self.decoder = decoder
+        self.nz = encoder.nz
+
+    def init(self, key) -> Dict:
+        k_enc, k_dec = jax.random.split(key)
+        return {"enc": self.encoder.init(k_enc), "dec": self.decoder.init(k_dec)}
+
+    # --- prior ---------------------------------------------------------
+    def eval_prior_dist(self, z: jnp.ndarray) -> jnp.ndarray:
+        """log p(z) under N(0, I): [..., nz] → [...]. <ref>vae.py §eval_prior_dist."""
+        return -0.5 * (jnp.sum(z ** 2, axis=-1)
+                       + self.nz * math.log(2 * math.pi))
+
+    def sample_from_prior(self, key, nsamples: int) -> jnp.ndarray:
+        """<ref>vae.py §sample_from_prior."""
+        return jax.random.normal(key, (nsamples, self.nz))
+
+    # --- core ------------------------------------------------------------
+    def encode(self, params, key, x, mask=None, nsamples: int = 1):
+        """(z [B, K, nz], KL [B]). <ref>vae.py §encode."""
+        return self.encoder.encode(params["enc"], key, x, mask, nsamples)
+
+    def decode(self, params, x_in, z, key=None, train: bool = False):
+        return self.decoder.decode(params["dec"], x_in, z, key, train)
+
+    def loss(self, params, key, x, mask=None, row_weight=None,
+             kl_weight: float = 1.0, nsamples: int = 1, train: bool = True
+             ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Per-sentence (loss, rec, kl), each [B]. <ref>vae.py §loss.
+
+        loss = rec + kl_weight * KL;  rec = E_{z~q}[-log p(x|z)] averaged
+        over ``nsamples``. Zero-weight pad rows are zeroed so batch sums
+        are exact under static batch shapes.
+        """
+        k_enc, k_dec = jax.random.split(key)
+        z, kl = self.encode(params, k_enc, x, mask, nsamples)
+        rec = self.decoder.reconstruct_error(
+            params["dec"], x, mask, z, k_dec, train).mean(axis=1)
+        if row_weight is not None:
+            rec = rec * row_weight
+            kl = kl * row_weight
+        return rec + kl_weight * kl, rec, kl
+
+    # --- likelihood evaluation ------------------------------------------
+    def eval_complete_ll(self, params, x, mask, z) -> jnp.ndarray:
+        """log p(x, z) = log p(z) + log p(x|z): z [B, K, nz] → [B, K].
+        <ref>vae.py §eval_complete_ll."""
+        return (self.eval_prior_dist(z)
+                + self.decoder.log_probability(params["dec"], x, mask, z))
+
+    def eval_inference_dist(self, params, x, mask, z) -> jnp.ndarray:
+        """log q(z|x): [B, K]. <ref>vae.py §eval_inference_dist."""
+        return self.encoder.eval_inference_dist(params["enc"], x, z, mask)
+
+    def nll_iw(self, params, key, x, mask=None, nsamples: int = 500,
+               ns: int = 100) -> jnp.ndarray:
+        """Importance-weighted NLL per sentence: [B].
+
+        Parity: <ref>vae.py §nll_iw — ``nsamples`` total, processed in
+        chunks of ``ns``: w = log p(x, z) - log q(z|x) with z ~ q(z|x);
+        NLL = -(logsumexp_500 w - log 500). The chunk loop is a static
+        Python loop (unrolled into the jitted graph); inside each chunk the
+        decoder bounds memory via its own z-sample chunking. SURVEY.md §3.3
+        marks this the most FLOPs-per-example path in the repo.
+        """
+        assert nsamples % ns == 0, (nsamples, ns)
+        chunks = []
+        for i in range(nsamples // ns):
+            k_i = jax.random.fold_in(key, i)
+            z, (mu, logvar) = self.encoder.sample(params["enc"], k_i, x, mask, ns)
+            from .encoder import eval_inference_dist as _eid
+            log_w = (self.eval_complete_ll(params, x, mask, z)
+                     - _eid(z, mu, logvar))  # [B, ns]
+            chunks.append(log_w)
+        log_w = jnp.concatenate(chunks, axis=1)  # [B, nsamples]
+        return -(log_sum_exp(log_w, dim=1) - math.log(nsamples))
+
+    def KL(self, params, x, mask=None) -> jnp.ndarray:
+        """Analytic KL per row: [B]. <ref>vae.py §KL."""
+        mu, logvar = self.encoder.forward(params["enc"], x, mask)
+        return gaussian_kl(mu, logvar)
+
+    def calc_mi_q(self, params, key, x, mask=None, row_weight=None) -> jnp.ndarray:
+        """Batch MI estimate (scalar). <ref>vae.py §calc_mi_q."""
+        return self.encoder.calc_mi(params["enc"], key, x, mask, row_weight)
+
+    # --- reconstruction / generation -------------------------------------
+    def reconstruct(self, params, key, x, mask=None, decoding_strategy: str = "greedy",
+                    max_len: int = 100):
+        """Encode deterministically-sampled z then decode.
+        <ref>vae.py §reconstruct."""
+        z, _ = self.encoder.sample(params["enc"], key, x, mask, 1)
+        z_flat = z[:, 0, :]
+        if decoding_strategy == "greedy":
+            return self.decoder.greedy_decode(params["dec"], z_flat, max_len)
+        if decoding_strategy == "sample":
+            return self.decoder.sample_decode(params["dec"], key, z_flat, max_len)
+        if decoding_strategy == "beam":
+            return self.decoder.beam_search_decode(params["dec"], z_flat,
+                                                   max_len=max_len)
+        raise ValueError(decoding_strategy)
+
+    # --- toy posterior-mean-space probes ---------------------------------
+    def calc_model_posterior_mean(self, params, x, mask,
+                                  z_grid: jnp.ndarray) -> jnp.ndarray:
+        """⟨z⟩ under the TRUE model posterior p(z|x) by grid quadrature.
+
+        Parity: <ref>vae.py §calc_model_posterior_mean (used by <ref>toy.py,
+        SURVEY.md §3.5): p(z|x) ∝ p(x|z) p(z) evaluated on a fixed grid
+        ``z_grid`` [G, nz]; returns the softmax-weighted grid mean [B, nz].
+        """
+        B = x.shape[0]
+        G = z_grid.shape[0]
+        z = jnp.broadcast_to(z_grid[None], (B, G, self.nz))
+        log_post = self.eval_complete_ll(params, x, mask, z)  # [B, G]
+        w = jax.nn.softmax(log_post, axis=1)
+        return jnp.einsum("bg,gz->bz", w, z_grid)
+
+    def calc_infer_mean(self, params, x, mask=None) -> jnp.ndarray:
+        """μ(x) of the approximate posterior: [B, nz]. <ref>vae.py §calc_infer_mean."""
+        mu, _ = self.encoder.forward(params["enc"], x, mask)
+        return mu
