@@ -1,0 +1,162 @@
+"""Training-layer tests: optim, on-device aggressive inner loop, fused
+epoch program, eval suite, end-to-end train_text smoke (CPU)."""
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vae_lagging_encoder_tpu.config import get_config
+from vae_lagging_encoder_tpu.data import BucketedPool, MonoTextData
+from vae_lagging_encoder_tpu.data.synthetic import generate_synthetic_corpus
+from vae_lagging_encoder_tpu.models import build_text_vae
+from vae_lagging_encoder_tpu.train import (
+    clip_by_global_norm, global_norm, make_aggressive_inner, make_au_fn,
+    make_eval_fn, make_iwnll_fn, make_loss_fn, make_mi_fn, make_train_epoch,
+    sgd_update, load_checkpoint, save_checkpoint)
+
+
+def tiny_cfg(**kw):
+    base = dict(ni=16, enc_nh=24, dec_nh=24, nz=4, batch_size=16, epochs=2,
+                length_buckets=(8, 16, 32), burn_max_iters=30, burn_window=5,
+                dec_dropout_in=0.0, dec_dropout_out=0.0, warm_up=1,
+                iw_nsamples=20, iw_batch=10, decay_epoch=1)
+    base.update(kw)
+    return get_config("synthetic", **base)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    sents, _ = generate_synthetic_corpus(num_sentences=300, vocab_size=40,
+                                         min_len=4, max_len=28, seed=1)
+    data = MonoTextData(sentences=sents)
+    pool = BucketedPool(data.create_data_batch(cfg.batch_size, cfg.length_buckets))
+    vae = build_text_vae(cfg, len(data.vocab))
+    params = vae.init(jax.random.PRNGKey(0))
+    return cfg, data, pool, vae, params
+
+
+def test_clip_by_global_norm():
+    tree = {"a": jnp.full((3,), 3.0), "b": jnp.full((4,), 4.0)}
+    norm = float(global_norm(tree))
+    assert abs(norm - math.sqrt(27 + 64)) < 1e-5
+    clipped, pre = clip_by_global_norm(tree, 1.0)
+    assert abs(float(global_norm(clipped)) - 1.0) < 1e-3
+    # below threshold: unchanged
+    same, _ = clip_by_global_norm(tree, 100.0)
+    np.testing.assert_allclose(np.asarray(same["a"]), 3.0, rtol=1e-5)
+
+
+def test_sgd_update():
+    p = {"w": jnp.ones((2,))}
+    g = {"w": jnp.full((2,), 0.5)}
+    p2, _ = sgd_update(p, g, 0.1)
+    np.testing.assert_allclose(np.asarray(p2["w"]), 0.95, rtol=1e-6)
+
+
+def test_aggressive_inner_updates_encoder_only(setup):
+    cfg, data, pool, vae, params = setup
+    loss_fn = make_loss_fn(vae, train=True)
+    inner = make_aggressive_inner(loss_fn, pool, cfg.clip_grad,
+                                  cfg.burn_max_iters, cfg.burn_window)
+    inner_jit = jax.jit(inner)
+    new_params, n_sub = inner_jit(params, jax.random.PRNGKey(1),
+                                  jnp.float32(1.0), jnp.float32(0.5))
+    n_sub = int(n_sub)
+    assert 1 <= n_sub <= cfg.burn_max_iters
+    # decoder untouched, encoder changed
+    for a, b in zip(jax.tree.leaves(params["dec"]),
+                    jax.tree.leaves(new_params["dec"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    enc_diff = sum(float(jnp.abs(a - b).sum()) for a, b in
+                   zip(jax.tree.leaves(params["enc"]),
+                       jax.tree.leaves(new_params["enc"])))
+    assert enc_diff > 0
+
+
+def test_epoch_fn_trains_and_anneals(setup):
+    cfg, data, pool, vae, params = setup
+    epoch_fn = make_train_epoch(vae, pool, cfg)
+    order = jnp.arange(pool.num_batches, dtype=jnp.int32)
+    p1, klw1, sums1, ii1 = epoch_fn(jax.tree.map(jnp.copy, params),
+                                    jax.random.PRNGKey(2), jnp.float32(0.1),
+                                    jnp.float32(1.0), order, aggressive=False)
+    assert int(ii1) == 0
+    loss1 = float(sums1[0]) / float(sums1[3])
+    # anneal rate = 0.9 / (warm_up * nb); after nb steps with warm_up=1 -> 1.0
+    assert abs(float(klw1) - 1.0) < 1e-5
+    p2, klw2, sums2, _ = epoch_fn(p1, jax.random.PRNGKey(3), klw1,
+                                  jnp.float32(1.0), order, aggressive=False)
+    loss2 = float(sums2[0]) / float(sums2[3])
+    assert loss2 < loss1  # training reduces loss epoch-over-epoch
+    assert np.isfinite(loss2)
+
+
+def test_epoch_fn_aggressive_runs_inner(setup):
+    cfg, data, pool, vae, params = setup
+    cfg = cfg.replace(burn_max_iters=6, burn_window=3)
+    epoch_fn = make_train_epoch(vae, pool, cfg)
+    order = jnp.arange(pool.num_batches, dtype=jnp.int32)
+    _, _, _, inner_iters = epoch_fn(jax.tree.map(jnp.copy, params),
+                                    jax.random.PRNGKey(4), jnp.float32(0.1),
+                                    jnp.float32(0.5), order, aggressive=True)
+    assert int(inner_iters) >= pool.num_batches  # ≥1 sub-iter per step
+
+
+def test_eval_suite(setup):
+    cfg, data, pool, vae, params = setup
+    key = jax.random.PRNGKey(5)
+    ev = make_eval_fn(vae, pool)(params, key)
+    assert ev["n_sents"] == 300
+    assert ev["ppl"] > 1
+    assert abs(ev["nll"] - (ev["rec"] + ev["kl"])) < 1e-3
+    mi = make_mi_fn(vae, pool)(params, key)
+    assert np.isfinite(mi)
+    au, var = make_au_fn(vae, pool)(params, key)
+    assert 0 <= au <= vae.nz and var.shape == (vae.nz,)
+    iw = make_iwnll_fn(vae, pool, nsamples=20, ns=10)(params, key)
+    # IW bound is tighter than ELBO: iw_nll <= elbo nll (+MC slack)
+    assert iw["nll"] <= ev["nll"] + 0.5
+    assert iw["ppl"] <= ev["ppl"] * 1.1
+
+
+def test_checkpoint_roundtrip(tmp_path, setup):
+    cfg, data, pool, vae, params = setup
+    path = str(tmp_path / "ck.pkl")
+    save_checkpoint(path, params, {"epoch": 3, "kl_weight": 0.7})
+    p2, extra = load_checkpoint(path)
+    assert extra["epoch"] == 3
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_text_end_to_end(tmp_path):
+    """Full lifecycle smoke: plain + aggressive, 2 epochs, tiny data."""
+    from vae_lagging_encoder_tpu.train import train_text
+
+    root = tmp_path / "data"
+    root.mkdir()
+    sents, topics = generate_synthetic_corpus(num_sentences=260, vocab_size=30,
+                                              min_len=4, max_len=20, seed=2)
+    for split, sl in {"train": slice(0, 200), "valid": slice(200, 230),
+                      "test": slice(230, 260)}.items():
+        with open(root / f"{split}.txt", "w") as fh:
+            for t, s in zip(topics[sl], sents[sl]):
+                fh.write(f"{t}\t" + " ".join(s) + "\n")
+
+    cfg = tiny_cfg(
+        train_data=str(root / "train.txt"), val_data=str(root / "valid.txt"),
+        test_data=str(root / "test.txt"), epochs=2, aggressive=True,
+        burn_max_iters=4, burn_window=2,
+        save_path=str(tmp_path / "model.ckpt"))
+    results = train_text(cfg)
+    for k in ("elbo_loss", "rec", "kl", "mi", "au", "iw_nll", "iw_ppl"):
+        assert k in results and np.isfinite(results[k]), k
+    assert os.path.exists(cfg.save_path)
+    # eval-only path reuses the checkpoint
+    cfg_eval = cfg.replace(eval=True, load_path=cfg.save_path)
+    r2 = train_text(cfg_eval)
+    assert np.isfinite(r2["iw_nll"])

@@ -1,0 +1,72 @@
+"""Shared CLI plumbing: reference-compatible flags merged over per-dataset
+configs (flags win), mirroring <ref>text.py/image.py §init_config's
+argparse + importlib config merge (SURVEY.md §5 config row)."""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+from ..config import DATASET_CONFIGS, ExperimentConfig, get_config
+from ..utils.exp_utils import Logger, create_exp_dir
+
+
+def build_parser(default_dataset: str = "yahoo") -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    # reference flag names (<ref>text.py §init_config) -------------------
+    p.add_argument("--dataset", type=str, default=default_dataset,
+                   choices=sorted(DATASET_CONFIGS))
+    p.add_argument("--aggressive", type=int, default=None,
+                   help="1 = lagging-encoder inner loop (paper's algorithm)")
+    p.add_argument("--kl_start", type=float, default=None)
+    p.add_argument("--warm_up", type=int, default=None)
+    p.add_argument("--nsamples", type=int, default=None)
+    p.add_argument("--iw_nsamples", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--load_path", type=str, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--clip_grad", type=float, default=None)
+    p.add_argument("--decay_epoch", type=int, default=None)
+    p.add_argument("--lr_decay", type=float, default=None)
+    p.add_argument("--max_decay", type=int, default=None)
+    p.add_argument("--save_path", type=str, default=None)
+    p.add_argument("--exp_dir", type=str, default=None)
+    p.add_argument("--label", type=int, default=None)
+    p.add_argument("--log_niter", type=int, default=None)
+    p.add_argument("--test_nepoch", type=int, default=None)
+    # TPU-first additions -------------------------------------------------
+    p.add_argument("--compute_dtype", type=str, default=None,
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--use_pallas", type=int, default=None)
+    p.add_argument("--dp_devices", type=int, default=None)
+    p.add_argument("--train_data", type=str, default=None)
+    p.add_argument("--val_data", type=str, default=None)
+    p.add_argument("--test_data", type=str, default=None)
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
+    fields = {f.name for f in dataclasses.fields(ExperimentConfig)}
+    overrides = {}
+    for k, v in vars(args).items():
+        if k in fields and v is not None and k != "dataset":
+            if k in ("aggressive", "label", "use_pallas"):
+                v = bool(v)
+            if k == "eval" and not v:
+                continue  # store_true default False shouldn't override
+            overrides[k] = v
+    return get_config(args.dataset, **overrides)
+
+
+def make_run_logger(cfg: ExperimentConfig, kind: str) -> Logger:
+    exp_dir = cfg.exp_dir or os.path.join(
+        "models", cfg.dataset,
+        f"exp_{kind}_aggressive{int(cfg.aggressive)}_"
+        f"kls{cfg.kl_start}_warm{cfg.warm_up}_seed{cfg.seed}_{int(time.time())}")
+    create_exp_dir(exp_dir, scripts_to_save=[sys.argv[0]] if sys.argv else None)
+    return Logger(os.path.join(exp_dir, "log.txt"))

@@ -98,6 +98,7 @@ class VAE:
         decoder bounds memory via its own z-sample chunking. SURVEY.md §3.3
         marks this the most FLOPs-per-example path in the repo.
         """
+        ns = min(ns, nsamples)
         assert nsamples % ns == 0, (nsamples, ns)
         chunks = []
         for i in range(nsamples // ns):

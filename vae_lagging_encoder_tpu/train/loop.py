@@ -1,0 +1,178 @@
+"""Host-side training driver for text VAEs.
+
+Parity: <ref>text.py §main (SURVEY.md §3.1) — the full lifecycle:
+KL-annealed training with separate enc/dec SGD, the aggressive inner loop
+with its epoch-level MI-plateau permanent switch-off, per-epoch validation
+ELBO, best-checkpoint saving, LR plateau decay WITH rollback-to-best, and
+the final eval suite (ELBO / MI / AU / 500-sample IW-NLL).
+
+The host only orchestrates epoch boundaries; each epoch is one fused XLA
+program (train/epoch.py). The rare host-side decisions (MI switch-off, LR
+decay + param rollback) match the reference's semantics exactly because
+they affect final numbers (SURVEY.md §7 hard parts 1 & 3).
+"""
+from __future__ import annotations
+
+import math
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ExperimentConfig
+from ..data import BucketedPool, MonoTextData, ensure_synthetic_dataset
+from ..models import build_text_vae
+from ..utils.exp_utils import Logger
+from .checkpoint import load_checkpoint, save_checkpoint, to_host
+from .epoch import (make_au_fn, make_eval_fn, make_iwnll_fn, make_mi_fn,
+                    make_train_epoch)
+
+
+def load_text_datasets(cfg: ExperimentConfig):
+    if cfg.dataset == "synthetic":
+        ensure_synthetic_dataset()
+    label = cfg.label or cfg.dataset in ("yahoo", "yelp", "synthetic")
+    train = MonoTextData(cfg.train_data, label=label)
+    val = MonoTextData(cfg.val_data, label=label, vocab=train.vocab)
+    test = MonoTextData(cfg.test_data, label=label, vocab=train.vocab)
+    return train, val, test
+
+
+def train_text(cfg: ExperimentConfig, logger: Optional[Logger] = None) -> Dict:
+    log = logger or Logger()
+    t_setup = time.time()
+    train_data, val_data, test_data = load_text_datasets(cfg)
+    vocab = train_data.vocab
+    log.info(f"[data] train {len(train_data)} / val {len(val_data)} / "
+             f"test {len(test_data)} sentences, vocab {len(vocab)}")
+
+    mk = lambda d: BucketedPool(d.create_data_batch(cfg.batch_size,
+                                                    cfg.length_buckets))
+    train_pool, val_pool, test_pool = mk(train_data), mk(val_data), mk(test_data)
+    log.info(f"[data] train batches {train_pool.num_batches} over buckets "
+             f"{train_pool.lengths}")
+
+    vae = build_text_vae(cfg, len(vocab))
+    master_key = jax.random.PRNGKey(cfg.seed)
+    params = vae.init(master_key)
+
+    epoch_fn = make_train_epoch(vae, train_pool, cfg)
+    val_eval = make_eval_fn(vae, val_pool)
+    val_mi = make_mi_fn(vae, val_pool)
+
+    if cfg.load_path:
+        params, extra = load_checkpoint(cfg.load_path)
+        log.info(f"[ckpt] loaded {cfg.load_path} (extra keys: {list(extra)})")
+
+    if cfg.eval:
+        return evaluate_text(cfg, vae, params, test_pool, log)
+
+    # --- training state (reference semantics) ---------------------------
+    kl_weight = float(cfg.kl_start)
+    lr = float(cfg.lr)
+    aggressive = bool(cfg.aggressive)
+    pre_mi = 0.0
+    best_loss = math.inf
+    best_params = to_host(params)
+    decay_cnt = 0
+    not_improved = 0
+    rng = np.random.RandomState(cfg.seed)
+    save_path = cfg.save_path or f"models/{cfg.dataset}/model.ckpt"
+    history = []
+    log.info(f"[setup] {time.time() - t_setup:.1f}s; starting {cfg.epochs} epochs "
+             f"(aggressive={aggressive})")
+
+    for epoch in range(cfg.epochs):
+        t0 = time.time()
+        order = jnp.asarray(rng.permutation(train_pool.num_batches).astype(np.int32))
+        k_epoch = jax.random.fold_in(master_key, epoch)
+        params, kl_w_new, sums, inner_iters = epoch_fn(
+            params, k_epoch, jnp.float32(kl_weight), jnp.float32(lr), order,
+            aggressive=aggressive)
+        kl_weight = float(kl_w_new)
+        loss_s, rec_s, kl_s, n_sent, n_words = map(float, jax.device_get(sums))
+        dt = time.time() - t0
+        steps = train_pool.num_batches + int(inner_iters)
+        log.info(f"epoch {epoch}: loss {loss_s / n_sent:.4f} "
+                 f"rec {rec_s / n_sent:.4f} kl {kl_s / n_sent:.4f} "
+                 f"kl_weight {kl_weight:.4f} inner_iters {int(inner_iters)} "
+                 f"({dt:.1f}s, {steps / dt:.1f} steps/s)")
+
+        # --- epoch-level MI plateau: permanent aggressive switch-off ----
+        if aggressive:
+            cur_mi = val_mi(params, jax.random.fold_in(master_key, 10_000 + epoch))
+            log.info(f"epoch {epoch}: val MI {cur_mi:.4f} (prev {pre_mi:.4f})")
+            if cur_mi < pre_mi:
+                aggressive = False
+                log.info(f"epoch {epoch}: MI plateau — aggressive OFF permanently")
+            pre_mi = cur_mi
+
+        # --- validation ELBO + best checkpoint + LR plateau decay -------
+        val = val_eval(params, jax.random.fold_in(master_key, 20_000 + epoch))
+        log.info(f"epoch {epoch}: VAL loss {val['loss']:.4f} rec {val['rec']:.4f} "
+                 f"kl {val['kl']:.4f} nll {val['nll']:.4f} ppl {val['ppl']:.2f}")
+        log.metric(epoch=epoch, train_loss=loss_s / n_sent, val_loss=val["loss"],
+                   val_kl=val["kl"], kl_weight=kl_weight, lr=lr,
+                   inner_iters=int(inner_iters), aggressive=aggressive,
+                   epoch_seconds=dt)
+        history.append({"epoch": epoch, **{f"val_{k}": v for k, v in val.items()}})
+
+        if val["loss"] < best_loss:
+            best_loss = val["loss"]
+            best_params = to_host(params)
+            not_improved = 0
+            save_checkpoint(save_path, best_params, {
+                "epoch": epoch, "kl_weight": kl_weight, "lr": lr,
+                "aggressive": aggressive, "pre_mi": pre_mi,
+                "val": {k: float(v) for k, v in val.items()},
+                "vocab_size": len(vocab), "dataset": cfg.dataset,
+            })
+        else:
+            not_improved += 1
+            if not_improved >= cfg.decay_epoch and epoch >= cfg.warm_up:
+                # <ref>text.py §plateau decay: halve lr, RELOAD best params
+                # (rollback-to-best), rebuild optimizers at the new lr.
+                lr *= cfg.lr_decay
+                decay_cnt += 1
+                not_improved = 0
+                params = jax.tree.map(jnp.asarray, best_params)
+                log.info(f"epoch {epoch}: plateau — lr -> {lr:.4f} "
+                         f"(decay {decay_cnt}/{cfg.max_decay}), rolled back to best")
+                if decay_cnt >= cfg.max_decay:
+                    log.info("max decays reached — stopping")
+                    break
+
+    # --- final evaluation on the best checkpoint -------------------------
+    params = jax.tree.map(jnp.asarray, best_params)
+    results = evaluate_text(cfg, vae, params, test_pool, log)
+    results["history"] = history
+    results["best_val_loss"] = best_loss
+    results["save_path"] = save_path
+    return results
+
+
+def evaluate_text(cfg: ExperimentConfig, vae, params, pool: BucketedPool,
+                  log: Logger) -> Dict:
+    """Final suite: ELBO decomposition, MI, AU, 500-sample IW-NLL + PPL.
+
+    Parity: <ref>text.py §main's final block → test(), calc_mi(), calc_au(),
+    calc_iwnll() (SURVEY.md §3.3).
+    """
+    key = jax.random.PRNGKey(cfg.seed + 1)
+    elbo = make_eval_fn(vae, pool)(params, key)
+    mi = make_mi_fn(vae, pool)(params, jax.random.fold_in(key, 1))
+    au, au_var = make_au_fn(vae, pool)(params, jax.random.fold_in(key, 2))
+    iw = make_iwnll_fn(vae, pool, nsamples=cfg.iw_nsamples,
+                       ns=cfg.iw_batch)(params, jax.random.fold_in(key, 3))
+    results = {
+        "elbo_loss": float(elbo["loss"]), "rec": float(elbo["rec"]),
+        "kl": float(elbo["kl"]), "mi": float(mi), "au": int(au),
+        "iw_nll": float(iw["nll"]), "iw_ppl": float(iw["ppl"]),
+    }
+    log.info(f"[TEST] rec {results['rec']:.4f} kl {results['kl']:.4f} "
+             f"mi {results['mi']:.4f} au {results['au']} "
+             f"iw-nll {results['iw_nll']:.4f} iw-ppl {results['iw_ppl']:.2f}")
+    log.metric(split="test", **results)
+    return results

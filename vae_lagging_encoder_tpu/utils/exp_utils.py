@@ -49,7 +49,8 @@ class Logger:
         """Append one structured metric record (epoch, loss, mi, ...)."""
         kv.setdefault("ts", time.time())
         if self._metrics_fh:
-            self._metrics_fh.write(json.dumps(kv) + "\n")
+            # numpy scalars (from jax.device_get) aren't JSON-serializable
+            self._metrics_fh.write(json.dumps(kv, default=float) + "\n")
             self._metrics_fh.flush()
 
     def close(self) -> None:
