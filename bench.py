@@ -1,0 +1,88 @@
+"""Benchmark: Yahoo-config training throughput per chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N}
+
+What's measured: plain-VAE (no inner loop) training steps/sec on the
+flagship Yahoo configuration (LSTM 512/1024/1024, nz 32, vocab 20k, batch
+32) over a Yahoo-like synthetic corpus (offline box — the real corpora are
+not fetchable; lengths drawn to match Yahoo's ~80-token average,
+SURVEY.md §6). Training runs as the fused whole-epoch XLA program the real
+CLI uses; the first (compile) epoch is excluded.
+
+Baseline: the PyTorch reference's measured throughput is NOT available
+(BASELINE.json.published is empty and /root/reference was an empty mount —
+see SURVEY.md caveat). ``vs_baseline`` therefore divides by a documented
+reconstruction: ~20 steps/s for cuDNN-LSTM fwd+bwd at this config on the
+paper-era single GPU (V100-class, ~200 GFLOP/step at ~4-5 TFLOP/s
+effective). Re-verify when the reference becomes runnable.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+PYTORCH_REF_STEPS_PER_SEC = 20.0  # documented estimate; see module docstring
+
+VOCAB = 20_000
+NUM_SENTS = 3200
+BATCH = 32
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from vae_lagging_encoder_tpu.config import get_config
+    from vae_lagging_encoder_tpu.data import BucketedPool, MonoTextData
+    from vae_lagging_encoder_tpu.models import build_text_vae
+    from vae_lagging_encoder_tpu.train import make_train_epoch
+
+    # Yahoo-like synthetic corpus: ~80-token average sentences, 20k vocab.
+    rng = np.random.RandomState(0)
+    words = [f"w{i}" for i in range(VOCAB - 4)]
+    freq = rng.zipf(1.3, size=10 * NUM_SENTS) % (VOCAB - 4)
+    sents, pos = [], 0
+    for _ in range(NUM_SENTS):
+        ln = int(np.clip(rng.normal(80, 25), 20, 160))
+        sents.append([words[i] for i in freq[pos:pos + ln]])
+        pos += ln
+    cfg = get_config("yahoo")
+    data = MonoTextData(sentences=sents)
+    pool = BucketedPool(data.create_data_batch(BATCH, cfg.length_buckets))
+
+    vae = build_text_vae(cfg, len(data.vocab))
+    params = vae.init(jax.random.PRNGKey(cfg.seed))
+    epoch_fn, opt_init = make_train_epoch(vae, pool, cfg)
+    opt_state = opt_init(params)
+    order = jnp.arange(pool.num_batches, dtype=jnp.int32)
+
+    def run_epoch(params, opt_state, kl_w, seed):
+        params, opt_state, kl_w, sums, _ = epoch_fn(
+            params, opt_state, jax.random.PRNGKey(seed), kl_w,
+            jnp.float32(1.0), order, aggressive=False)
+        jax.block_until_ready(sums)
+        return params, opt_state, kl_w, sums
+
+    # warmup epoch (compile)
+    params, opt_state, kl_w, _ = run_epoch(params, opt_state, jnp.float32(0.1), 0)
+    # timed epochs
+    t0 = time.time()
+    n_epochs = 2
+    for e in range(n_epochs):
+        params, opt_state, kl_w, sums = run_epoch(params, opt_state, kl_w, e + 1)
+    dt = time.time() - t0
+    steps = n_epochs * pool.num_batches
+    sps = steps / dt
+    print(json.dumps({
+        "metric": "yahoo_plain_vae_train_steps_per_sec_per_chip",
+        "value": round(sps, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(sps / PYTORCH_REF_STEPS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

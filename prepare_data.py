@@ -1,0 +1,81 @@
+"""Dataset fetcher — parity with <ref>prepare_data.py (SURVEY.md §2).
+
+Downloads and unpacks the reference datasets (Yahoo, Yelp, synthetic,
+OmniGlot) into ``datasets/``. The URLs are the reference release's hosted
+tarballs; they cannot be verified from this offline environment, so the
+downloader also accepts ``--url`` overrides.
+
+Offline fallback (this box has ZERO egress): ``--offline`` materializes the
+deterministic synthetic substitutes (synthetic text corpus, stroke-style
+OmniGlot stand-in) so every CLI, test, and benchmark runs without network.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tarfile
+import urllib.request
+
+# [MED] reconstructed from the reference README's drive-hosted tarballs; the
+# real prepare_data.py fetches equivalent archives.
+DATASET_URLS = {
+    "yahoo": "https://drive.google.com/uc?id=13azGlTuGdzWLCmgDmQPmvb_jcexVWX7i",
+    "yelp": "https://drive.google.com/uc?id=1FT49oLNV8syhmGXEgiK6XTjEfMNqqEJJ",
+    "synthetic": "https://drive.google.com/uc?id=1ozhQpWtVkPdJPYNHMZeVCS09GheZUDTz",
+    "omniglot": "https://drive.google.com/uc?id=1IvAGW9j0qWbUS0WQBHqUvrvPeQRRjNZc",
+}
+
+
+def download(dataset: str, url: str | None = None) -> None:
+    url = url or DATASET_URLS[dataset]
+    os.makedirs("datasets", exist_ok=True)
+    tar_path = f"datasets/{dataset}_data.tar.gz"
+    print(f"downloading {dataset} from {url} ...")
+    urllib.request.urlretrieve(url, tar_path)
+    with tarfile.open(tar_path) as tf:
+        tf.extractall("datasets", filter="data")
+    os.unlink(tar_path)
+    print(f"-> datasets/{dataset}_data/")
+
+
+def offline(datasets) -> None:
+    from vae_lagging_encoder_tpu.data import (ensure_omniglot_dataset,
+                                              ensure_synthetic_dataset)
+
+    for ds in datasets:
+        if ds == "synthetic":
+            paths = ensure_synthetic_dataset()
+            print(f"synthetic (offline substitute) -> {paths['train']}")
+        elif ds == "omniglot":
+            path = ensure_omniglot_dataset()
+            print(f"omniglot (offline substitute) -> {path}")
+        else:
+            print(f"{ds}: no offline substitute (real corpus required); "
+                  "train on 'synthetic' instead", file=sys.stderr)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", nargs="*", default=list(DATASET_URLS),
+                   choices=list(DATASET_URLS))
+    p.add_argument("--url", default=None,
+                   help="override the download URL (single dataset only)")
+    p.add_argument("--offline", action="store_true",
+                   help="materialize offline synthetic substitutes instead")
+    args = p.parse_args(argv)
+    if args.offline:
+        offline(args.dataset)
+        return 0
+    for ds in args.dataset:
+        try:
+            download(ds, args.url if len(args.dataset) == 1 else None)
+        except Exception as e:  # zero-egress boxes land here
+            print(f"{ds}: download failed ({e}); use --offline for the "
+                  "synthetic substitutes", file=sys.stderr)
+            return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

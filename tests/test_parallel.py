@@ -1,0 +1,83 @@
+"""DP sharding tests on the emulated 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vae_lagging_encoder_tpu.config import get_config
+from vae_lagging_encoder_tpu.data import MonoTextData
+from vae_lagging_encoder_tpu.data.synthetic import generate_synthetic_corpus
+from vae_lagging_encoder_tpu.models import build_text_vae
+from vae_lagging_encoder_tpu.parallel import (make_dp_train_step, make_mesh,
+                                              shard_batch)
+from vae_lagging_encoder_tpu.train import make_loss_fn
+from vae_lagging_encoder_tpu.train.optim import clip_by_global_norm, sgd_update
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_dp_step_matches_single_device():
+    """psum'd DP gradients must reproduce the single-device update."""
+    cfg = get_config("synthetic", ni=8, enc_nh=12, nz=2, dec_nh=12,
+                     dec_dropout_in=0.0, dec_dropout_out=0.0, batch_size=16)
+    sents, _ = generate_synthetic_corpus(num_sentences=64, vocab_size=20,
+                                         min_len=4, max_len=10, seed=0)
+    data = MonoTextData(sentences=sents)
+    (batch,) = [b for b in data.create_data_batch(64, buckets=(16,))][:1]
+    vae = build_text_vae(cfg, len(data.vocab))
+    params = vae.init(jax.random.PRNGKey(0))
+
+    mesh = make_mesh(8)
+    dp_step = make_dp_train_step(vae, cfg, mesh)
+    toks, mask, rw = shard_batch(mesh, batch.tokens, batch.mask, batch.row_weight)
+    key = jax.random.PRNGKey(1)
+    p_dp, aux_dp = dp_step(jax.tree.map(jnp.copy, params), key, toks, mask, rw,
+                           jnp.float32(1.0), jnp.float32(0.5))
+
+    # single-device oracle with matching per-shard keys
+    loss_fn = make_loss_fn(vae, train=True)
+    n_global = batch.row_weight.sum()
+
+    def objective(p):
+        total = 0.0
+        sums = None
+        for s in range(8):
+            sl = slice(s * 8, (s + 1) * 8)
+            k_s = jax.random.fold_in(key, s)
+            _, aux = loss_fn(p, k_s, (jnp.asarray(batch.tokens[sl]),
+                                      jnp.asarray(batch.mask[sl]),
+                                      jnp.asarray(batch.row_weight[sl])), 1.0)
+            total = total + aux[0] / n_global
+            sums = aux if sums is None else jax.tree.map(jnp.add, sums, aux)
+        return total, sums
+
+    (_, aux_ref), grads = jax.value_and_grad(objective, has_aux=True)(params)
+    grads, _ = clip_by_global_norm(grads, cfg.clip_grad)
+    p_ref, _ = sgd_update(params, grads, 0.5)
+
+    for a, b in zip(jax.tree.leaves(p_dp), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(aux_dp[0]), np.asarray(aux_ref[0]),
+                               rtol=1e-5)
+
+
+def test_dp_step_runs_multiple_steps():
+    cfg = get_config("synthetic", ni=8, enc_nh=12, nz=2, dec_nh=12,
+                     dec_dropout_in=0.0, dec_dropout_out=0.0)
+    sents, _ = generate_synthetic_corpus(num_sentences=64, vocab_size=20,
+                                         min_len=4, max_len=10, seed=3)
+    data = MonoTextData(sentences=sents)
+    (batch,) = data.create_data_batch(64, buckets=(16,))[:1]
+    vae = build_text_vae(cfg, len(data.vocab))
+    params = vae.init(jax.random.PRNGKey(0))
+    mesh = make_mesh(8)
+    step = make_dp_train_step(vae, cfg, mesh)
+    toks, mask, rw = shard_batch(mesh, batch.tokens, batch.mask, batch.row_weight)
+    losses = []
+    for i in range(3):
+        params, aux = step(params, jax.random.PRNGKey(i), toks, mask, rw,
+                           jnp.float32(1.0), jnp.float32(1.0))
+        losses.append(float(aux[0]) / float(aux[3]))
+    assert losses[-1] < losses[0]

@@ -63,8 +63,9 @@ def test_aggressive_inner_updates_encoder_only(setup):
     inner = make_aggressive_inner(loss_fn, pool, cfg.clip_grad,
                                   cfg.burn_max_iters, cfg.burn_window)
     inner_jit = jax.jit(inner)
-    new_params, n_sub = inner_jit(params, jax.random.PRNGKey(1),
-                                  jnp.float32(1.0), jnp.float32(0.5))
+    new_params, _, n_sub = inner_jit(params, {"enc": {}, "dec": {}},
+                                     jax.random.PRNGKey(1),
+                                     jnp.float32(1.0), jnp.float32(0.5))
     n_sub = int(n_sub)
     assert 1 <= n_sub <= cfg.burn_max_iters
     # decoder untouched, encoder changed
@@ -79,17 +80,18 @@ def test_aggressive_inner_updates_encoder_only(setup):
 
 def test_epoch_fn_trains_and_anneals(setup):
     cfg, data, pool, vae, params = setup
-    epoch_fn = make_train_epoch(vae, pool, cfg)
+    epoch_fn, opt_init = make_train_epoch(vae, pool, cfg)
     order = jnp.arange(pool.num_batches, dtype=jnp.int32)
-    p1, klw1, sums1, ii1 = epoch_fn(jax.tree.map(jnp.copy, params),
-                                    jax.random.PRNGKey(2), jnp.float32(0.1),
-                                    jnp.float32(1.0), order, aggressive=False)
+    p0 = jax.tree.map(jnp.copy, params)
+    p1, os1, klw1, sums1, ii1 = epoch_fn(p0, opt_init(p0),
+                                         jax.random.PRNGKey(2), jnp.float32(0.1),
+                                         jnp.float32(1.0), order, aggressive=False)
     assert int(ii1) == 0
     loss1 = float(sums1[0]) / float(sums1[3])
     # anneal rate = 0.9 / (warm_up * nb); after nb steps with warm_up=1 -> 1.0
     assert abs(float(klw1) - 1.0) < 1e-5
-    p2, klw2, sums2, _ = epoch_fn(p1, jax.random.PRNGKey(3), klw1,
-                                  jnp.float32(1.0), order, aggressive=False)
+    p2, os2, klw2, sums2, _ = epoch_fn(p1, os1, jax.random.PRNGKey(3), klw1,
+                                       jnp.float32(1.0), order, aggressive=False)
     loss2 = float(sums2[0]) / float(sums2[3])
     assert loss2 < loss1  # training reduces loss epoch-over-epoch
     assert np.isfinite(loss2)
@@ -98,12 +100,28 @@ def test_epoch_fn_trains_and_anneals(setup):
 def test_epoch_fn_aggressive_runs_inner(setup):
     cfg, data, pool, vae, params = setup
     cfg = cfg.replace(burn_max_iters=6, burn_window=3)
-    epoch_fn = make_train_epoch(vae, pool, cfg)
+    epoch_fn, opt_init = make_train_epoch(vae, pool, cfg)
     order = jnp.arange(pool.num_batches, dtype=jnp.int32)
-    _, _, _, inner_iters = epoch_fn(jax.tree.map(jnp.copy, params),
-                                    jax.random.PRNGKey(4), jnp.float32(0.1),
-                                    jnp.float32(0.5), order, aggressive=True)
+    p0 = jax.tree.map(jnp.copy, params)
+    _, _, _, _, inner_iters = epoch_fn(p0, opt_init(p0),
+                                       jax.random.PRNGKey(4), jnp.float32(0.1),
+                                       jnp.float32(0.5), order, aggressive=True)
     assert int(inner_iters) >= pool.num_batches  # ≥1 sub-iter per step
+
+
+def test_adam_optimizer_step():
+    from vae_lagging_encoder_tpu.train.optim import make_optimizer
+
+    init_fn, update_fn = make_optimizer("adam")
+    p = {"w": jnp.ones((3,))}
+    s = init_fn(p)
+    g = {"w": jnp.full((3,), 0.1)}
+    p1, s1 = update_fn(p, g, s, 1e-1)
+    # first Adam step moves by ~lr in the gradient direction
+    np.testing.assert_allclose(np.asarray(p1["w"]), 1.0 - 0.1, atol=1e-5)
+    assert int(s1["t"]) == 1
+    p2, s2 = update_fn(p1, g, s1, 1e-1)
+    assert float(p2["w"][0]) < float(p1["w"][0])
 
 
 def test_eval_suite(setup):

@@ -30,6 +30,8 @@ def build_parser(default_dataset: str = "yahoo") -> argparse.ArgumentParser:
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--optim", type=str, default=None, choices=["sgd", "adam"])
+    p.add_argument("--momentum", type=float, default=None)
     p.add_argument("--clip_grad", type=float, default=None)
     p.add_argument("--decay_epoch", type=int, default=None)
     p.add_argument("--lr_decay", type=float, default=None)

@@ -2,7 +2,7 @@ from .vocab import Vocab
 from .text import MonoTextData, TextBatch
 from .synthetic import generate_synthetic_corpus, ensure_synthetic_dataset
 from .omniglot import load_omniglot, ensure_omniglot_dataset
-from .pool import BucketedPool
+from .pool import BucketedPool, ImagePool, Pool
 
 __all__ = [
     "Vocab",
@@ -13,4 +13,6 @@ __all__ = [
     "load_omniglot",
     "ensure_omniglot_dataset",
     "BucketedPool",
+    "ImagePool",
+    "Pool",
 ]

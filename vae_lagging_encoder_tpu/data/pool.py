@@ -28,31 +28,30 @@ import numpy as np
 from .text import TextBatch
 
 
-class BucketedPool:
-    def __init__(self, batches: Sequence[TextBatch]):
-        if not batches:
-            raise ValueError("empty batch list")
-        groups = {}
-        for b in batches:
-            groups.setdefault(b.seq_len, []).append(b)
-        self.lengths: Tuple[int, ...] = tuple(sorted(groups))
-        self.tokens: List[jnp.ndarray] = []
-        self.mask: List[jnp.ndarray] = []
-        self.row_weight: List[jnp.ndarray] = []
-        counts = []
-        for L in self.lengths:
-            grp = groups[L]
-            self.tokens.append(jnp.asarray(np.stack([g.tokens for g in grp])))
-            self.mask.append(jnp.asarray(np.stack([g.mask for g in grp])))
-            self.row_weight.append(jnp.asarray(np.stack([g.row_weight for g in grp])))
-            counts.append(len(grp))
+class Pool:
+    """Device-resident batch pool: the generic interface consumed by
+    train/epoch.py and train/aggressive.py.
+
+      - ``counts`` / ``cum`` / ``num_batches`` / ``num_buckets``
+      - ``sample_coords(key) -> (bucket, idx)`` — uniform in-graph draw
+      - ``switch(bucket, idx, fn)`` calling ``fn(*batch_arrays)`` —
+        ``(tokens [B,L], mask [B,L], row_weight [B])`` for text;
+        ``(probs [B,H,W,C], row_weight [B])`` for images.
+
+    Subclasses fill ``self.arrays`` (one tuple of stacked [n_b, ...] arrays
+    per bucket) and call ``_finalize(counts)``.
+    """
+
+    arrays: List[Tuple[jnp.ndarray, ...]]
+
+    def _finalize(self, counts) -> None:
         self.counts = np.asarray(counts, np.int32)
         self.cum = np.concatenate([[0], np.cumsum(self.counts)]).astype(np.int32)
         self.num_batches = int(self.cum[-1])
 
     @property
     def num_buckets(self) -> int:
-        return len(self.lengths)
+        return len(self.arrays)
 
     def sample_coords(self, key: jax.Array) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Uniform batch draw → (bucket_id, index_within_bucket), traced."""
@@ -61,17 +60,60 @@ class BucketedPool:
         bucket = jnp.searchsorted(cum, flat, side="right") - 1
         return bucket.astype(jnp.int32), (flat - cum[bucket]).astype(jnp.int32)
 
-    def switch(self, bucket: jnp.ndarray, idx: jnp.ndarray,
-               fn: Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], any]):
-        """``lax.switch`` over buckets; each branch slices its own stack and
-        calls ``fn(tokens[B,L_b], mask[B,L_b], row_weight[B])``. All branches
-        must return identically-shaped pytrees (e.g. grads, scalars)."""
+    def switch(self, bucket: jnp.ndarray, idx: jnp.ndarray, fn: Callable):
+        """``lax.switch`` over buckets; each branch slices its own stacks and
+        calls ``fn(*batch_arrays)``. All branches must return
+        identically-shaped pytrees (e.g. grads, scalars)."""
         branches = []
         for k in range(self.num_buckets):
-            tok, msk, rw = self.tokens[k], self.mask[k], self.row_weight[k]
+            arrs = self.arrays[k]
 
-            def branch(i, tok=tok, msk=msk, rw=rw):
-                return fn(tok[i], msk[i], rw[i])
+            def branch(i, arrs=arrs):
+                return fn(*(a[i] for a in arrs))
 
             branches.append(branch)
         return jax.lax.switch(bucket, branches, idx)
+
+
+class BucketedPool(Pool):
+    """Text pool: per bucket-length a stacked (tokens, mask, row_weight)."""
+
+    def __init__(self, batches: Sequence[TextBatch]):
+        if not batches:
+            raise ValueError("empty batch list")
+        groups = {}
+        for b in batches:
+            groups.setdefault(b.seq_len, []).append(b)
+        self.lengths: Tuple[int, ...] = tuple(sorted(groups))
+        self.arrays: List[Tuple[jnp.ndarray, ...]] = []
+        counts = []
+        for L in self.lengths:
+            grp = groups[L]
+            self.arrays.append((
+                jnp.asarray(np.stack([g.tokens for g in grp])),
+                jnp.asarray(np.stack([g.mask for g in grp])),
+                jnp.asarray(np.stack([g.row_weight for g in grp])),
+            ))
+            counts.append(len(grp))
+        self._finalize(counts)
+
+    # back-compat view used by tests
+    @property
+    def tokens(self):
+        return [a[0] for a in self.arrays]
+
+
+class ImagePool(Pool):
+    """Image pool: one bucket of stacked (probs, row_weight) batches.
+
+    ``images`` are grayscale probabilities [N, H, W, C] in [0, 1]; dynamic
+    binarization happens on device inside the loss (parity with
+    <ref>image.py's fresh ``torch.bernoulli(batch)`` per step, SURVEY §3.4).
+    """
+
+    def __init__(self, images: np.ndarray, batch_size: int):
+        from .omniglot import image_batches
+
+        stacked, w = image_batches(images, batch_size)
+        self.arrays = [(jnp.asarray(stacked), jnp.asarray(w))]
+        self._finalize([stacked.shape[0]])

@@ -1,7 +1,9 @@
 from .encoder import (GaussianEncoderBase, calc_mi, eval_inference_dist,
                       gaussian_kl, reparameterize)
 from .enc_lstm import GaussianLSTMEncoder
+from .enc_resnet import ResNetEncoderV2
 from .dec_lstm import LSTMDecoder
+from .dec_pixelcnn import PixelCNNDecoderV2
 from .vae import VAE
 
 
@@ -18,8 +20,24 @@ def build_text_vae(cfg, vocab_size: int) -> VAE:
     return VAE(enc, dec)
 
 
+def build_image_vae(cfg) -> VAE:
+    """OmniGlot model: ResNet encoder + PixelCNN decoder (config parity:
+    <ref>image.py §main model build)."""
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    enc = ResNetEncoderV2(cfg.nz, channels=cfg.enc_layers,
+                          img_size=cfg.img_size, compute_dtype=dtype)
+    dec = PixelCNNDecoderV2(cfg.nz, img_size=cfg.img_size,
+                            n_layers=cfg.dec_layers, filters=cfg.dec_filters,
+                            first_kernel=cfg.dec_kernel_size,
+                            compute_dtype=dtype)
+    return VAE(enc, dec)
+
+
 __all__ = [
-    "GaussianEncoderBase", "GaussianLSTMEncoder", "LSTMDecoder", "VAE",
-    "build_text_vae", "calc_mi", "eval_inference_dist", "gaussian_kl",
-    "reparameterize",
+    "GaussianEncoderBase", "GaussianLSTMEncoder", "ResNetEncoderV2",
+    "LSTMDecoder", "PixelCNNDecoderV2", "VAE",
+    "build_text_vae", "build_image_vae", "calc_mi", "eval_inference_dist",
+    "gaussian_kl", "reparameterize",
 ]

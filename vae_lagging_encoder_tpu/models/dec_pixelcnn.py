@@ -1,0 +1,144 @@
+"""Conditional PixelCNN decoder p(x|z) over binarized images.
+
+Parity: <ref>modules/decoders/dec_pixelcnn_v2.py §PixelCNNDecoderV2
+(SURVEY.md §2): masked convs — mask A (blocks current pixel) in the first
+layer, mask B afterwards; z conditions every layer via a linear projection
+broadcast-added to the feature map; Bernoulli logits per pixel;
+``reconstruct_error`` = per-image summed BCE computed in ONE parallel
+forward (training never runs sequentially); pixel-by-pixel autoregressive
+``decode`` only for sampling.
+
+TPU notes: masks are folded into weights at trace time (ops/conv.py), so
+training is a stack of dense MXU convs. Sampling is a ``lax.fori_loop``
+over the 784 pixels with a full-canvas forward per step (fine — it's off
+the metric path; SURVEY.md §7 hard part 6).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.conv import masked_conv2d
+from .lstm_core import uniform
+
+
+class PixelCNNDecoderV2:
+    def __init__(self, nz: int, img_size: Tuple[int, int, int] = (28, 28, 1),
+                 n_layers: int = 8, filters: int = 64, first_kernel: int = 7,
+                 kernel: int = 3, compute_dtype=jnp.float32, iw_chunk: int = 25):
+        self.nz = nz
+        self.img_size = img_size
+        self.n_layers = n_layers
+        self.filters = filters
+        self.first_kernel = first_kernel
+        self.kernel = kernel
+        self.compute_dtype = compute_dtype
+        self.iw_chunk = iw_chunk
+
+    def init(self, key) -> Dict:
+        H, W, C = self.img_size
+        keys = jax.random.split(key, 2 * self.n_layers + 2)
+        layers: List[Dict] = []
+        cin = C
+        for i in range(self.n_layers):
+            k = self.first_kernel if i == 0 else self.kernel
+            cout = self.filters
+            layers.append({
+                "w": uniform(keys[2 * i], (k, k, cin, cout), 0.05),
+                "b": jnp.zeros((cout,)),
+                # per-layer z conditioning: Linear(nz, cout), broadcast-added
+                "wz": uniform(keys[2 * i + 1], (self.nz, cout), 0.05),
+            })
+            cin = cout
+        return {
+            "layers": layers,
+            "out_w": uniform(keys[-2], (1, 1, cin, C), 0.05),
+            "out_b": jnp.zeros((C,)),
+        }
+
+    # ------------------------------------------------------------------
+    def _logits(self, params, x: jnp.ndarray, z_flat: jnp.ndarray) -> jnp.ndarray:
+        """x [N, H, W, C] binary canvas, z_flat [N, nz] → Bernoulli logits."""
+        h = x.astype(self.compute_dtype)
+        for i, layer in enumerate(params["layers"]):
+            cond = jnp.dot(z_flat, layer["wz"],
+                           preferred_element_type=jnp.float32)
+            h = masked_conv2d(h, layer["w"].astype(self.compute_dtype),
+                              include_center=(i > 0))
+            h = jax.nn.elu(h + layer["b"] + cond[:, None, None, :])
+        out = masked_conv2d(h, params["out_w"], include_center=True)
+        return (out + params["out_b"]).astype(jnp.float32)
+
+    def decode(self, params, x: jnp.ndarray, z: jnp.ndarray,
+               key=None, train: bool = False) -> jnp.ndarray:
+        """Teacher-forced logits: x [B,H,W,C], z [B,K,nz] → [B,K,H,W,C]."""
+        del key, train  # no dropout in the reference image decoder
+        B = x.shape[0]
+        K = z.shape[1]
+        xk = jnp.broadcast_to(x[None], (K,) + x.shape).reshape((K * B,) + x.shape[1:])
+        zf = z.transpose(1, 0, 2).reshape(K * B, self.nz)
+        logits = self._logits(params, xk, zf)
+        return logits.reshape((K, B) + x.shape[1:]).transpose(1, 0, 2, 3, 4)
+
+    def reconstruct_error(self, params, x: jnp.ndarray,
+                          mask: Optional[jnp.ndarray], z: jnp.ndarray,
+                          key=None, train: bool = False) -> jnp.ndarray:
+        """-log p(x|z) per (image, z-sample): [B, K] — summed Bernoulli BCE.
+
+        ``mask`` is unused for images (kept for the shared VAE interface).
+        """
+        B = x.shape[0]
+        K = z.shape[1]
+
+        def rec_chunk(z_chunk):
+            k = z_chunk.shape[1]
+            logits = self.decode(params, x, z_chunk)
+            xt = jnp.broadcast_to(x[:, None], (B, k) + x.shape[1:])
+            nll = jnp.maximum(logits, 0) - logits * xt + jnp.log1p(
+                jnp.exp(-jnp.abs(logits)))  # stable BCE-with-logits
+            return jnp.sum(nll, axis=(2, 3, 4))
+
+        if K <= self.iw_chunk:
+            return rec_chunk(z)
+        n_chunks = -(-K // self.iw_chunk)
+        K_pad = n_chunks * self.iw_chunk
+        if K_pad != K:
+            z = jnp.concatenate(
+                [z, jnp.zeros((B, K_pad - K, self.nz), z.dtype)], axis=1)
+        zc = z.reshape(B, n_chunks, self.iw_chunk, self.nz).transpose(1, 0, 2, 3)
+        out = jax.lax.map(jax.checkpoint(rec_chunk), zc)
+        return out.transpose(1, 0, 2).reshape(B, K_pad)[:, :K]
+
+    def log_probability(self, params, x, mask, z) -> jnp.ndarray:
+        return -self.reconstruct_error(params, x, mask, z)
+
+    # ------------------------------------------------------------------
+    def sample(self, params, key, z_flat: jnp.ndarray) -> jnp.ndarray:
+        """Autoregressive pixel-by-pixel generation: z [N, nz] → binary
+        images [N, H, W, C]. <ref>dec_pixelcnn_v2.py §decode."""
+        N = z_flat.shape[0]
+        H, W, C = self.img_size
+        canvas = jnp.zeros((N, H, W, C))
+
+        def body(p, carry):
+            canvas, key = carry
+            i, j = p // W, p % W
+            logits = self._logits(params, canvas, z_flat)[:, i, j, :]
+            key, sub = jax.random.split(key)
+            pix = jax.random.bernoulli(sub, jax.nn.sigmoid(logits)).astype(
+                canvas.dtype)
+            canvas = jax.lax.dynamic_update_slice(
+                canvas, pix[:, None, None, :], (0, i, j, 0))
+            return canvas, key
+
+        canvas, _ = jax.lax.fori_loop(0, H * W, body, (canvas, key))
+        return canvas
+
+    # aliases for the shared VAE.reconstruct API
+    def greedy_decode(self, params, z_flat, max_len: int = 0):
+        return self.sample(params, jax.random.PRNGKey(0), z_flat)
+
+    def sample_decode(self, params, key, z_flat, max_len: int = 0):
+        return self.sample(params, key, z_flat)

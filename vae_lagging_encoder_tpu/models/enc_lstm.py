@@ -45,4 +45,5 @@ class GaussianLSTMEncoder(GaussianEncoderBase):
         stats = jnp.dot(h_final, params["linear"],
                         preferred_element_type=jnp.float32)
         mu, logvar = jnp.split(stats, 2, axis=-1)
-        return mu, logvar
+        # overflow guard; see enc_resnet.py — inert for healthy posteriors
+        return mu, jnp.clip(logvar, -8.0, 8.0)

@@ -33,6 +33,7 @@ from .optim import clip_by_global_norm, sgd_update
 
 class InnerCarry(NamedTuple):
     params: dict
+    opt_state: dict            # {"enc": ..., "dec": ...}; only enc advances
     key: jax.Array
     sub_iter: jnp.ndarray      # int32
     pre_loss: jnp.ndarray      # float32, best per-word window loss so far
@@ -43,16 +44,22 @@ class InnerCarry(NamedTuple):
 
 def make_aggressive_inner(loss_fn: Callable, pool: BucketedPool,
                           clip_grad: float, burn_max_iters: int,
-                          burn_window: int):
-    """Build ``inner(params, key, kl_weight, lr) -> (params, sub_iters)``.
+                          burn_window: int, opt_update: Callable = None):
+    """Build ``inner(params, opt_state, key, kl_weight, lr) ->
+    (params, opt_state, sub_iters)``.
 
-    ``loss_fn(params, key, tokens, mask, row_weight, kl_weight)`` must return
+    ``loss_fn(params, key, batch_tuple, kl_weight)`` must return
     ``(mean_loss, (loss_sum, rec_sum, kl_sum, n_sents, n_words))`` — the same
     contract used by the outer step, so forward/backward code is shared.
+    ``opt_update(params, grads, state, lr)`` defaults to plain SGD.
     """
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    if opt_update is None:
+        def opt_update(p, g, s, lr):
+            p, _ = sgd_update(p, g, lr)
+            return p, s
 
-    def inner(params, key, kl_weight, lr):
+    def inner(params, opt_state, key, kl_weight, lr):
         def cond(c: InnerCarry):
             return jnp.logical_and(~c.done, c.sub_iter < burn_max_iters)
 
@@ -60,16 +67,17 @@ def make_aggressive_inner(loss_fn: Callable, pool: BucketedPool,
             key, k_pick, k_loss = jax.random.split(c.key, 3)
             bucket, idx = pool.sample_coords(k_pick)
 
-            def grad_on(tokens, mask, row_weight):
-                (_, aux), grads = grad_fn(c.params, k_loss, tokens, mask,
-                                          row_weight, kl_weight)
+            def grad_on(*batch):
+                (_, aux), grads = grad_fn(c.params, k_loss, batch, kl_weight)
                 return grads, aux
 
             grads, (loss_sum, _, _, _, n_words) = pool.switch(bucket, idx, grad_on)
             # clip over the FULL tree, apply to the encoder only
             grads, _ = clip_by_global_norm(grads, clip_grad)
-            enc_new, _ = sgd_update(c.params["enc"], grads["enc"], lr)
+            enc_new, enc_opt = opt_update(c.params["enc"], grads["enc"],
+                                          c.opt_state["enc"], lr)
             params = dict(c.params, enc=enc_new)
+            opt_state = dict(c.opt_state, enc=enc_opt)
 
             sub_iter = c.sub_iter + 1
             cur_loss = c.cur_loss + loss_sum
@@ -80,13 +88,13 @@ def make_aggressive_inner(loss_fn: Callable, pool: BucketedPool,
             pre_loss = jnp.where(jnp.logical_and(check, ~done), avg, c.pre_loss)
             cur_loss = jnp.where(check, 0.0, cur_loss)
             cur_words = jnp.where(check, 0.0, cur_words)
-            return InnerCarry(params, key, sub_iter, pre_loss, cur_loss,
-                              cur_words, done)
+            return InnerCarry(params, opt_state, key, sub_iter, pre_loss,
+                              cur_loss, cur_words, done)
 
-        init = InnerCarry(params, key, jnp.int32(0), jnp.float32(jnp.inf),
-                          jnp.float32(0.0), jnp.float32(0.0),
-                          jnp.bool_(False))
+        init = InnerCarry(params, opt_state, key, jnp.int32(0),
+                          jnp.float32(jnp.inf), jnp.float32(0.0),
+                          jnp.float32(0.0), jnp.bool_(False))
         out = jax.lax.while_loop(cond, body, init)
-        return out.params, out.sub_iter
+        return out.params, out.opt_state, out.sub_iter
 
     return inner

@@ -26,18 +26,20 @@ import numpy as np
 from ..data.pool import BucketedPool
 from ..models.vae import VAE
 from .aggressive import make_aggressive_inner
-from .optim import clip_by_global_norm, sgd_update
+from .optim import clip_by_global_norm, make_optimizer, sgd_update
 
 
 def make_loss_fn(vae: VAE, nsamples: int = 1, train: bool = True) -> Callable:
-    """(params, key, tokens, mask, row_weight, kl_weight) ->
-    (mean_loss, (loss_sum, rec_sum, kl_sum, n_sents, n_words)).
+    """Text loss adapter: (params, key, batch, kl_weight) ->
+    (mean_loss, (loss_sum, rec_sum, kl_sum, n_sents, n_words)) where
+    ``batch = (tokens, mask, row_weight)`` as yielded by BucketedPool.
 
     mean_loss is the reference's ``loss.mean()`` objective (per real
     sentence); the aux sums feed epoch-level reporting.
     """
 
-    def loss_fn(params, key, tokens, mask, row_weight, kl_weight):
+    def loss_fn(params, key, batch, kl_weight):
+        tokens, mask, row_weight = batch
         loss, rec, kl = vae.loss(params, key, tokens, mask, row_weight,
                                  kl_weight=kl_weight, nsamples=nsamples,
                                  train=train)
@@ -59,28 +61,70 @@ def _flat_coords(pool: BucketedPool) -> Tuple[np.ndarray, np.ndarray]:
     return buckets, idxs
 
 
-def make_train_epoch(vae: VAE, pool: BucketedPool, cfg) -> Callable:
-    """Build ``epoch_fn(params, key, kl_weight, lr, order, aggressive) ->
-    (params, kl_weight, stats, total_inner_iters)``.
+def make_image_loss_fn(vae: VAE, nsamples: int = 1, train: bool = True) -> Callable:
+    """Image loss adapter: batch = (probs, row_weight); binarizes on device
+    (fresh Bernoulli draw per step — parity with <ref>image.py §dynamic
+    binarization, SURVEY.md §3.4). 'words' are pixels for per-unit stats."""
 
-    ``order`` is a host-shuffled permutation of flat batch indices (the
-    reference shuffles its batch list each epoch); ``aggressive`` is a
-    static bool (the flag flips at most once per run, costing one recompile
-    when the MI plateau switches it off permanently).
+    def loss_fn(params, key, batch, kl_weight):
+        probs, row_weight = batch
+        k_bin, k_loss = jax.random.split(key)
+        x = jax.random.bernoulli(k_bin, probs).astype(jnp.float32)
+        loss, rec, kl = vae.loss(params, k_loss, x, None, row_weight,
+                                 kl_weight=kl_weight, nsamples=nsamples,
+                                 train=train)
+        n = row_weight.sum()
+        n_pixels = n * float(np.prod(probs.shape[1:]))
+        loss_sum = loss.sum()
+        return loss_sum / jnp.maximum(n, 1.0), (
+            loss_sum, rec.sum(), kl.sum(), n, n_pixels)
+
+    return loss_fn
+
+
+def binarize_prep(key, batch):
+    """Eval-time prep for image batches: fresh dynamic binarization
+    (the reference binarizes at eval too — SURVEY.md §3.4)."""
+    probs, row_weight = batch
+    x = jax.random.bernoulli(key, probs).astype(jnp.float32)
+    return x, None, row_weight
+
+
+def make_train_epoch(vae: VAE, pool: BucketedPool, cfg,
+                     loss_fn: Callable | None = None):
+    """Build ``(epoch_fn, opt_init)`` where
+    ``epoch_fn(params, opt_state, key, kl_weight, lr, order, aggressive) ->
+    (params, opt_state, kl_weight, stats, total_inner_iters)``.
+
+    ``opt_state`` is ``{"enc": ..., "dec": ...}`` — two separate optimizers
+    exactly like the reference (<ref>text.py §main); the aggressive inner
+    loop advances only the encoder's. ``order`` is a host-shuffled
+    permutation of flat batch indices; ``aggressive`` is a static bool (the
+    flag flips at most once per run, costing one recompile when the MI
+    plateau switches it off permanently).
     """
-    loss_fn = make_loss_fn(vae, nsamples=cfg.nsamples, train=True)
+    loss_fn = loss_fn or make_loss_fn(vae, nsamples=cfg.nsamples, train=True)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    opt_init_part, opt_update = make_optimizer(
+        getattr(cfg, "optim", "sgd"), momentum=cfg.momentum)
+
+    def opt_init(params):
+        return {"enc": opt_init_part(params["enc"]),
+                "dec": opt_init_part(params["dec"])}
+
     inner = make_aggressive_inner(loss_fn, pool, cfg.clip_grad,
-                                  cfg.burn_max_iters, cfg.burn_window)
+                                  cfg.burn_max_iters, cfg.burn_window,
+                                  opt_update=opt_update)
     flat_bucket, flat_idx = _flat_coords(pool)
     flat_bucket = jnp.asarray(flat_bucket)
     flat_idx = jnp.asarray(flat_idx)
     anneal_rate = (1.0 - cfg.kl_start) / (cfg.warm_up * pool.num_batches)
 
-    @partial(jax.jit, static_argnames=("aggressive",), donate_argnums=(0,))
-    def epoch_fn(params, key, kl_weight, lr, order, aggressive: bool = False):
+    @partial(jax.jit, static_argnames=("aggressive",), donate_argnums=(0, 1))
+    def epoch_fn(params, opt_state, key, kl_weight, lr, order,
+                 aggressive: bool = False):
         def body(i, state):
-            params, key, kl_weight, sums, inner_iters = state
+            params, opt_state, key, kl_weight, sums, inner_iters = state
             key, k_inner, k_loss = jax.random.split(key, 3)
             flat = order[i]
             bucket, idx = flat_bucket[flat], flat_idx[flat]
@@ -88,40 +132,47 @@ def make_train_epoch(vae: VAE, pool: BucketedPool, cfg) -> Callable:
             if aggressive:
                 # <ref>text.py §3.2: encoder-only sub-updates to plateau,
                 # BEFORE this step's decoder update, at the current kl_weight.
-                params, n_sub = inner(params, k_inner, kl_weight, lr)
+                params, opt_state, n_sub = inner(params, opt_state, k_inner,
+                                                 kl_weight, lr)
                 inner_iters = inner_iters + n_sub
 
             kl_weight = jnp.minimum(1.0, kl_weight + anneal_rate)
 
-            def grad_on(tokens, mask, row_weight):
-                (_, aux), grads = grad_fn(params, k_loss, tokens, mask,
-                                          row_weight, kl_weight)
+            def grad_on(*batch):
+                (_, aux), grads = grad_fn(params, k_loss, batch, kl_weight)
                 return grads, aux
 
             grads, aux = pool.switch(bucket, idx, grad_on)
             grads, _ = clip_by_global_norm(grads, cfg.clip_grad)
             if aggressive:
                 # decoder-only step while the aggressive flag is on
-                dec_new, _ = sgd_update(params["dec"], grads["dec"], lr)
+                dec_new, dec_opt = opt_update(params["dec"], grads["dec"],
+                                              opt_state["dec"], lr)
                 params = dict(params, dec=dec_new)
+                opt_state = dict(opt_state, dec=dec_opt)
             else:
-                params, _ = sgd_update(params, grads, lr)
+                enc_new, enc_opt = opt_update(params["enc"], grads["enc"],
+                                              opt_state["enc"], lr)
+                dec_new, dec_opt = opt_update(params["dec"], grads["dec"],
+                                              opt_state["dec"], lr)
+                params = {"enc": enc_new, "dec": dec_new}
+                opt_state = {"enc": enc_opt, "dec": dec_opt}
             sums = jax.tree.map(jnp.add, sums, aux)
-            return params, key, kl_weight, sums, inner_iters
+            return params, opt_state, key, kl_weight, sums, inner_iters
 
         zeros = tuple(jnp.float32(0.0) for _ in range(5))
-        params, _, kl_weight, sums, inner_iters = jax.lax.fori_loop(
+        params, opt_state, _, kl_weight, sums, inner_iters = jax.lax.fori_loop(
             0, pool.num_batches, body,
-            (params, key, kl_weight, zeros, jnp.int32(0)))
-        return params, kl_weight, sums, inner_iters
+            (params, opt_state, key, kl_weight, zeros, jnp.int32(0)))
+        return params, opt_state, kl_weight, sums, inner_iters
 
-    return epoch_fn
+    return epoch_fn, opt_init
 
 
 def make_pool_reducer(pool: BucketedPool, batch_fn: Callable, init) -> Callable:
     """Build ``reduce_fn(params, key) -> summed pytree`` where
-    ``batch_fn(params, key, tokens, mask, row_weight)`` returns a pytree of
-    scalars added across every batch in the pool (one fused XLA program)."""
+    ``batch_fn(params, key, batch_tuple)`` returns a pytree of scalars added
+    across every batch in the pool (one fused XLA program)."""
     flat_bucket, flat_idx = map(jnp.asarray, _flat_coords(pool))
 
     @jax.jit
@@ -129,8 +180,8 @@ def make_pool_reducer(pool: BucketedPool, batch_fn: Callable, init) -> Callable:
         def body(i, acc):
             k_i = jax.random.fold_in(key, i)
 
-            def on(tokens, mask, row_weight):
-                return batch_fn(params, k_i, tokens, mask, row_weight)
+            def on(*batch):
+                return batch_fn(params, k_i, batch)
 
             out = pool.switch(flat_bucket[i], flat_idx[i], on)
             return jax.tree.map(jnp.add, acc, out)
@@ -143,13 +194,41 @@ def make_pool_reducer(pool: BucketedPool, batch_fn: Callable, init) -> Callable:
 # ---------------------------------------------------------------------------
 # Evaluation suites over a pool (parity: <ref>text.py §test/§calc_mi/
 # §calc_au/§calc_iwnll — SURVEY.md §3.3), each as ONE fused device program.
+# All are modality-generic: a pool batch is either (tokens, mask, row_weight)
+# for text or (x, row_weight) for images (mask None, "words" = pixels).
 
-def make_eval_fn(vae: VAE, pool: BucketedPool, nsamples: int = 1) -> Callable:
-    """ELBO evaluation: returns dict(loss, rec, kl per sentence; ppl)."""
-    loss_fn = make_loss_fn(vae, nsamples=nsamples, train=False)
+def _unpack(key, batch):
+    """Default eval prep: identity for text; image pools should pass
+    ``prep=binarize_prep`` so estimators see fresh binarized samples."""
+    del key
+    if len(batch) == 3:
+        x, mask, row_weight = batch
+        return x, mask, row_weight
+    x, row_weight = batch
+    return x, None, row_weight
 
-    def batch_fn(params, key, tokens, mask, row_weight):
-        _, sums = loss_fn(params, key, tokens, mask, row_weight, 1.0)
+
+def _unit_count(x, mask, row_weight):
+    if mask is not None:
+        return (mask[:, 1:] * row_weight[:, None]).sum()
+    per_item = float(np.prod(x.shape[1:]))
+    return row_weight.sum() * per_item
+
+
+def _safe_exp(x: float) -> float:
+    try:
+        return math.exp(x)
+    except OverflowError:
+        return float("inf")
+
+
+def make_eval_fn(vae: VAE, pool: BucketedPool, nsamples: int = 1,
+                 loss_fn: Callable | None = None) -> Callable:
+    """ELBO evaluation: returns dict(loss, rec, kl per item; ppl)."""
+    loss_fn = loss_fn or make_loss_fn(vae, nsamples=nsamples, train=False)
+
+    def batch_fn(params, key, batch):
+        _, sums = loss_fn(params, key, batch, 1.0)
         return sums
 
     init = tuple(jnp.float32(0.0) for _ in range(5))
@@ -161,19 +240,21 @@ def make_eval_fn(vae: VAE, pool: BucketedPool, nsamples: int = 1) -> Callable:
         return {
             "loss": loss_s / n_sent, "rec": rec_s / n_sent, "kl": kl_s / n_sent,
             "nll": (rec_s + kl_s) / n_sent,
-            "ppl": math.exp((rec_s + kl_s) / n_words),
+            "ppl": _safe_exp((rec_s + kl_s) / n_words),
             "n_sents": n_sent, "n_words": n_words,
         }
 
     return eval_fn
 
 
-def make_mi_fn(vae: VAE, pool: BucketedPool) -> Callable:
+def make_mi_fn(vae: VAE, pool: BucketedPool, prep: Callable = _unpack) -> Callable:
     """Corpus MI: batch-size-weighted mean of per-batch MI estimates
     (parity: <ref>text.py §calc_mi)."""
 
-    def batch_fn(params, key, tokens, mask, row_weight):
-        mi = vae.calc_mi_q(params, key, tokens, mask, row_weight)
+    def batch_fn(params, key, batch):
+        k_prep, key = jax.random.split(key)
+        x, mask, row_weight = prep(k_prep, batch)
+        mi = vae.calc_mi_q(params, key, x, mask, row_weight)
         n = row_weight.sum()
         return (mi * n, n)
 
@@ -186,13 +267,15 @@ def make_mi_fn(vae: VAE, pool: BucketedPool) -> Callable:
     return mi_fn
 
 
-def make_au_fn(vae: VAE, pool: BucketedPool, delta: float = 0.01) -> Callable:
+def make_au_fn(vae: VAE, pool: BucketedPool, delta: float = 0.01,
+               prep: Callable = _unpack) -> Callable:
     """Active units: #dims with Var_x[mu(x)] > delta — two fused passes
     (parity: <ref>text.py §calc_au)."""
     nz = vae.nz
 
-    def mean_batch(params, key, tokens, mask, row_weight):
-        mu = vae.calc_infer_mean(params, tokens, mask)
+    def mean_batch(params, key, batch):
+        x, mask, row_weight = prep(key, batch)
+        mu = vae.calc_infer_mean(params, x, mask)
         return (jnp.sum(mu * row_weight[:, None], axis=0), row_weight.sum())
 
     mean_reducer = make_pool_reducer(
@@ -202,8 +285,9 @@ def make_au_fn(vae: VAE, pool: BucketedPool, delta: float = 0.01) -> Callable:
         mu_sum, n = mean_reducer(params, key)
         mu_mean = mu_sum / jnp.maximum(n, 1.0)
 
-        def var_batch(params, key, tokens, mask, row_weight):
-            mu = vae.calc_infer_mean(params, tokens, mask)
+        def var_batch(params, key, batch):
+            x, mask, row_weight = prep(key, batch)
+            mu = vae.calc_infer_mean(params, x, mask)
             dev = (mu - mu_mean) ** 2 * row_weight[:, None]
             return (jnp.sum(dev, axis=0),)
 
@@ -216,21 +300,23 @@ def make_au_fn(vae: VAE, pool: BucketedPool, delta: float = 0.01) -> Callable:
 
 
 def make_iwnll_fn(vae: VAE, pool: BucketedPool, nsamples: int = 500,
-                  ns: int = 100) -> Callable:
+                  ns: int = 100, prep: Callable = _unpack) -> Callable:
     """500-sample importance-weighted NLL + PPL over a pool
     (parity: <ref>text.py §calc_iwnll → <ref>vae.py §nll_iw)."""
 
-    def batch_fn(params, key, tokens, mask, row_weight):
-        nll = vae.nll_iw(params, key, tokens, mask, nsamples=nsamples, ns=ns)
+    def batch_fn(params, key, batch):
+        k_prep, key = jax.random.split(key)
+        x, mask, row_weight = prep(k_prep, batch)
+        nll = vae.nll_iw(params, key, x, mask, nsamples=nsamples, ns=ns)
         return ((nll * row_weight).sum(), row_weight.sum(),
-                (mask[:, 1:] * row_weight[:, None]).sum())
+                _unit_count(x, mask, row_weight))
 
     reducer = make_pool_reducer(
         pool, batch_fn, tuple(jnp.float32(0.0) for _ in range(3)))
 
     def iwnll_fn(params, key):
         nll_sum, n_sent, n_words = map(float, jax.device_get(reducer(params, key)))
-        return {"nll": nll_sum / n_sent, "ppl": math.exp(nll_sum / n_words),
+        return {"nll": nll_sum / n_sent, "ppl": _safe_exp(nll_sum / n_words),
                 "n_sents": n_sent, "n_words": n_words}
 
     return iwnll_fn

@@ -1,33 +1,37 @@
-"""Host-side training driver for text VAEs.
+"""Host-side training drivers (text + image).
 
-Parity: <ref>text.py §main (SURVEY.md §3.1) — the full lifecycle:
-KL-annealed training with separate enc/dec SGD, the aggressive inner loop
-with its epoch-level MI-plateau permanent switch-off, per-epoch validation
-ELBO, best-checkpoint saving, LR plateau decay WITH rollback-to-best, and
-the final eval suite (ELBO / MI / AU / 500-sample IW-NLL).
+Parity: <ref>text.py §main / <ref>image.py §main (SURVEY.md §3.1/§3.4) —
+the full lifecycle: KL-annealed training with separate enc/dec SGD, the
+aggressive inner loop with its epoch-level MI-plateau permanent switch-off,
+per-epoch validation ELBO, best-checkpoint saving, LR plateau decay WITH
+rollback-to-best, and the final eval suite (ELBO / MI / AU / IW-NLL).
 
 The host only orchestrates epoch boundaries; each epoch is one fused XLA
 program (train/epoch.py). The rare host-side decisions (MI switch-off, LR
 decay + param rollback) match the reference's semantics exactly because
-they affect final numbers (SURVEY.md §7 hard parts 1 & 3).
+they affect final numbers (SURVEY.md §7 hard parts 1 & 3). Text and image
+share the same driver, differing only in data pools, the loss adapter
+(dynamic binarization for images), and the eval prep hook.
 """
 from __future__ import annotations
 
 import math
 import time
-from typing import Dict, Optional
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import ExperimentConfig
-from ..data import BucketedPool, MonoTextData, ensure_synthetic_dataset
-from ..models import build_text_vae
+from ..data import (BucketedPool, ImagePool, MonoTextData,
+                    ensure_synthetic_dataset, load_omniglot)
+from ..models import build_image_vae, build_text_vae
 from ..utils.exp_utils import Logger
 from .checkpoint import load_checkpoint, save_checkpoint, to_host
-from .epoch import (make_au_fn, make_eval_fn, make_iwnll_fn, make_mi_fn,
-                    make_train_epoch)
+from .epoch import (_unpack, binarize_prep, make_au_fn, make_eval_fn,
+                    make_image_loss_fn, make_iwnll_fn, make_loss_fn,
+                    make_mi_fn, make_train_epoch)
 
 
 def load_text_datasets(cfg: ExperimentConfig):
@@ -40,36 +44,17 @@ def load_text_datasets(cfg: ExperimentConfig):
     return train, val, test
 
 
-def train_text(cfg: ExperimentConfig, logger: Optional[Logger] = None) -> Dict:
-    log = logger or Logger()
-    t_setup = time.time()
-    train_data, val_data, test_data = load_text_datasets(cfg)
-    vocab = train_data.vocab
-    log.info(f"[data] train {len(train_data)} / val {len(val_data)} / "
-             f"test {len(test_data)} sentences, vocab {len(vocab)}")
-
-    mk = lambda d: BucketedPool(d.create_data_batch(cfg.batch_size,
-                                                    cfg.length_buckets))
-    train_pool, val_pool, test_pool = mk(train_data), mk(val_data), mk(test_data)
-    log.info(f"[data] train batches {train_pool.num_batches} over buckets "
-             f"{train_pool.lengths}")
-
-    vae = build_text_vae(cfg, len(vocab))
+def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
+                 test_pool, log: Logger, loss_fn: Callable | None = None,
+                 eval_loss_fn: Callable | None = None,
+                 prep: Callable = _unpack) -> Dict:
+    """The shared lifecycle (see module docstring)."""
+    epoch_fn, opt_init = make_train_epoch(vae, train_pool, cfg, loss_fn=loss_fn)
+    opt_state = opt_init(params)
+    val_eval = make_eval_fn(vae, val_pool, loss_fn=eval_loss_fn)
+    val_mi = make_mi_fn(vae, val_pool, prep=prep)
     master_key = jax.random.PRNGKey(cfg.seed)
-    params = vae.init(master_key)
 
-    epoch_fn = make_train_epoch(vae, train_pool, cfg)
-    val_eval = make_eval_fn(vae, val_pool)
-    val_mi = make_mi_fn(vae, val_pool)
-
-    if cfg.load_path:
-        params, extra = load_checkpoint(cfg.load_path)
-        log.info(f"[ckpt] loaded {cfg.load_path} (extra keys: {list(extra)})")
-
-    if cfg.eval:
-        return evaluate_text(cfg, vae, params, test_pool, log)
-
-    # --- training state (reference semantics) ---------------------------
     kl_weight = float(cfg.kl_start)
     lr = float(cfg.lr)
     aggressive = bool(cfg.aggressive)
@@ -81,16 +66,16 @@ def train_text(cfg: ExperimentConfig, logger: Optional[Logger] = None) -> Dict:
     rng = np.random.RandomState(cfg.seed)
     save_path = cfg.save_path or f"models/{cfg.dataset}/model.ckpt"
     history = []
-    log.info(f"[setup] {time.time() - t_setup:.1f}s; starting {cfg.epochs} epochs "
-             f"(aggressive={aggressive})")
+    log.info(f"[train] {cfg.epochs} epochs, {train_pool.num_batches} "
+             f"batches/epoch, aggressive={aggressive}")
 
     for epoch in range(cfg.epochs):
         t0 = time.time()
         order = jnp.asarray(rng.permutation(train_pool.num_batches).astype(np.int32))
         k_epoch = jax.random.fold_in(master_key, epoch)
-        params, kl_w_new, sums, inner_iters = epoch_fn(
-            params, k_epoch, jnp.float32(kl_weight), jnp.float32(lr), order,
-            aggressive=aggressive)
+        params, opt_state, kl_w_new, sums, inner_iters = epoch_fn(
+            params, opt_state, k_epoch, jnp.float32(kl_weight),
+            jnp.float32(lr), order, aggressive=aggressive)
         kl_weight = float(kl_w_new)
         loss_s, rec_s, kl_s, n_sent, n_words = map(float, jax.device_get(sums))
         dt = time.time() - t0
@@ -127,7 +112,7 @@ def train_text(cfg: ExperimentConfig, logger: Optional[Logger] = None) -> Dict:
                 "epoch": epoch, "kl_weight": kl_weight, "lr": lr,
                 "aggressive": aggressive, "pre_mi": pre_mi,
                 "val": {k: float(v) for k, v in val.items()},
-                "vocab_size": len(vocab), "dataset": cfg.dataset,
+                "dataset": cfg.dataset,
             })
         else:
             not_improved += 1
@@ -138,34 +123,37 @@ def train_text(cfg: ExperimentConfig, logger: Optional[Logger] = None) -> Dict:
                 decay_cnt += 1
                 not_improved = 0
                 params = jax.tree.map(jnp.asarray, best_params)
+                # reference rebuilds both optimizers at the new lr -> fresh state
+                opt_state = opt_init(params)
                 log.info(f"epoch {epoch}: plateau — lr -> {lr:.4f} "
                          f"(decay {decay_cnt}/{cfg.max_decay}), rolled back to best")
                 if decay_cnt >= cfg.max_decay:
                     log.info("max decays reached — stopping")
                     break
 
-    # --- final evaluation on the best checkpoint -------------------------
     params = jax.tree.map(jnp.asarray, best_params)
-    results = evaluate_text(cfg, vae, params, test_pool, log)
+    results = run_final_eval(cfg, vae, params, test_pool, log,
+                             eval_loss_fn=eval_loss_fn, prep=prep)
     results["history"] = history
     results["best_val_loss"] = best_loss
     results["save_path"] = save_path
     return results
 
 
-def evaluate_text(cfg: ExperimentConfig, vae, params, pool: BucketedPool,
-                  log: Logger) -> Dict:
-    """Final suite: ELBO decomposition, MI, AU, 500-sample IW-NLL + PPL.
+def run_final_eval(cfg: ExperimentConfig, vae, params, pool, log: Logger,
+                   eval_loss_fn: Callable | None = None,
+                   prep: Callable = _unpack) -> Dict:
+    """Final suite: ELBO decomposition, MI, AU, IW-NLL + PPL.
 
-    Parity: <ref>text.py §main's final block → test(), calc_mi(), calc_au(),
-    calc_iwnll() (SURVEY.md §3.3).
+    Parity: <ref>text.py/image.py final block → test(), calc_mi(),
+    calc_au(), calc_iwnll() (SURVEY.md §3.3).
     """
     key = jax.random.PRNGKey(cfg.seed + 1)
-    elbo = make_eval_fn(vae, pool)(params, key)
-    mi = make_mi_fn(vae, pool)(params, jax.random.fold_in(key, 1))
-    au, au_var = make_au_fn(vae, pool)(params, jax.random.fold_in(key, 2))
-    iw = make_iwnll_fn(vae, pool, nsamples=cfg.iw_nsamples,
-                       ns=cfg.iw_batch)(params, jax.random.fold_in(key, 3))
+    elbo = make_eval_fn(vae, pool, loss_fn=eval_loss_fn)(params, key)
+    mi = make_mi_fn(vae, pool, prep=prep)(params, jax.random.fold_in(key, 1))
+    au, au_var = make_au_fn(vae, pool, prep=prep)(params, jax.random.fold_in(key, 2))
+    iw = make_iwnll_fn(vae, pool, nsamples=cfg.iw_nsamples, ns=cfg.iw_batch,
+                       prep=prep)(params, jax.random.fold_in(key, 3))
     results = {
         "elbo_loss": float(elbo["loss"]), "rec": float(elbo["rec"]),
         "kl": float(elbo["kl"]), "mi": float(mi), "au": int(au),
@@ -176,3 +164,53 @@ def evaluate_text(cfg: ExperimentConfig, vae, params, pool: BucketedPool,
              f"iw-nll {results['iw_nll']:.4f} iw-ppl {results['iw_ppl']:.2f}")
     log.metric(split="test", **results)
     return results
+
+
+# ---------------------------------------------------------------------------
+def train_text(cfg: ExperimentConfig, logger: Optional[Logger] = None) -> Dict:
+    log = logger or Logger()
+    train_data, val_data, test_data = load_text_datasets(cfg)
+    log.info(f"[data] train {len(train_data)} / val {len(val_data)} / "
+             f"test {len(test_data)} sentences, vocab {len(train_data.vocab)}")
+    mk = lambda d: BucketedPool(d.create_data_batch(cfg.batch_size,
+                                                    cfg.length_buckets))
+    train_pool, val_pool, test_pool = mk(train_data), mk(val_data), mk(test_data)
+    log.info(f"[data] train batches {train_pool.num_batches} over buckets "
+             f"{train_pool.lengths}")
+
+    vae = build_text_vae(cfg, len(train_data.vocab))
+    params = vae.init(jax.random.PRNGKey(cfg.seed))
+    if cfg.load_path:
+        params, extra = load_checkpoint(cfg.load_path)
+        log.info(f"[ckpt] loaded {cfg.load_path} (extra keys: {list(extra)})")
+    if cfg.eval:
+        return run_final_eval(cfg, vae, params, test_pool, log)
+    return run_training(cfg, vae, params, train_pool, val_pool, test_pool, log)
+
+
+def train_image(cfg: ExperimentConfig, logger: Optional[Logger] = None) -> Dict:
+    log = logger or Logger()
+    train_imgs, val_imgs, test_imgs = load_omniglot(cfg.train_data)
+    log.info(f"[data] omniglot train {len(train_imgs)} / val {len(val_imgs)} / "
+             f"test {len(test_imgs)} images")
+    train_pool = ImagePool(train_imgs, cfg.batch_size)
+    val_pool = ImagePool(val_imgs, cfg.batch_size)
+    test_pool = ImagePool(test_imgs, cfg.batch_size)
+
+    vae = build_image_vae(cfg)
+    params = vae.init(jax.random.PRNGKey(cfg.seed))
+    loss_fn = make_image_loss_fn(vae, nsamples=cfg.nsamples, train=True)
+    eval_loss_fn = make_image_loss_fn(vae, nsamples=1, train=False)
+    if cfg.load_path:
+        params, extra = load_checkpoint(cfg.load_path)
+        log.info(f"[ckpt] loaded {cfg.load_path} (extra keys: {list(extra)})")
+    if cfg.eval:
+        return run_final_eval(cfg, vae, params, test_pool, log,
+                              eval_loss_fn=eval_loss_fn, prep=binarize_prep)
+    return run_training(cfg, vae, params, train_pool, val_pool, test_pool, log,
+                        loss_fn=loss_fn, eval_loss_fn=eval_loss_fn,
+                        prep=binarize_prep)
+
+
+def evaluate_text(cfg, vae, params, pool, log):  # back-compat alias
+    return run_final_eval(cfg, vae, params, pool, log)

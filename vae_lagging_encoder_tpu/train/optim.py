@@ -24,10 +24,17 @@ def global_norm(tree) -> jnp.ndarray:
 
 def clip_by_global_norm(tree, max_norm: float):
     """<ref>torch.nn.utils.clip_grad_norm_(vae.parameters(), 5.0) equivalent —
-    the norm is over the FULL (enc+dec) gradient tree."""
+    the norm is over the FULL (enc+dec) gradient tree.
+
+    Robustness addendum (no reference equivalent): a non-finite gradient
+    (overflow on one unlucky batch) zeroes the step instead of poisoning the
+    parameters — ``0 * inf`` would otherwise turn the whole model NaN inside
+    a fused epoch where no host can intervene."""
     norm = global_norm(tree)
-    scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
-    return jax.tree.map(lambda x: x * scale, tree), norm
+    scale = jnp.where(jnp.isfinite(norm),
+                      jnp.minimum(1.0, max_norm / (norm + 1e-6)), 0.0)
+    return jax.tree.map(lambda x: jnp.where(jnp.isfinite(norm), x * scale, 0.0),
+                        tree), norm
 
 
 def init_velocity(params):
@@ -43,3 +50,57 @@ def sgd_update(params, grads, lr, velocity=None, momentum: float = 0.0):
         step_dir = grads
     params = jax.tree.map(lambda p, g: p - lr * g, params, step_dir)
     return params, velocity
+
+
+# ---------------------------------------------------------------------------
+# Optimizer abstraction: (init_fn, update_fn) pairs whose state is a pytree
+# that can ride the fused-epoch fori_loop / aggressive while_loop carries.
+# The reference's "rebuild optimizer at new lr" (plateau decay) maps to the
+# host re-calling init_fn; lr itself is a traced argument so decays never
+# recompile.
+
+def make_optimizer(name: str = "sgd", momentum: float = 0.0,
+                   b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
+    """Returns (init_fn(params) -> state, update_fn(params, grads, state, lr)
+    -> (params, state))."""
+    if name == "sgd":
+        if momentum:
+            def init_fn(params):
+                return {"v": init_velocity(params)}
+
+            def update_fn(params, grads, state, lr):
+                params, v = sgd_update(params, grads, lr, state["v"], momentum)
+                return params, {"v": v}
+        else:
+            def init_fn(params):
+                return {}
+
+            def update_fn(params, grads, state, lr):
+                params, _ = sgd_update(params, grads, lr)
+                return params, state
+        return init_fn, update_fn
+
+    if name == "adam":
+        def init_fn(params):
+            return {"m": jax.tree.map(jnp.zeros_like, params),
+                    "v": jax.tree.map(jnp.zeros_like, params),
+                    "t": jnp.int32(0)}
+
+        def update_fn(params, grads, state, lr):
+            t = state["t"] + 1
+            m = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
+                             state["m"], grads)
+            v = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                             state["v"], grads)
+            tf = t.astype(jnp.float32)
+            mhat_scale = 1.0 / (1.0 - b1 ** tf)
+            vhat_scale = 1.0 / (1.0 - b2 ** tf)
+            params = jax.tree.map(
+                lambda p, m_, v_: p - lr * (m_ * mhat_scale)
+                / (jnp.sqrt(v_ * vhat_scale) + eps),
+                params, m, v)
+            return params, {"m": m, "v": v, "t": t}
+
+        return init_fn, update_fn
+
+    raise ValueError(f"unknown optimizer {name!r}")
