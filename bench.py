@@ -8,7 +8,9 @@ flagship Yahoo configuration (LSTM 512/1024/1024, nz 32, vocab 20k, batch
 32) over a Yahoo-like synthetic corpus (offline box — the real corpora are
 not fetchable; lengths drawn to match Yahoo's ~80-token average,
 SURVEY.md §6). Training runs as the fused whole-epoch XLA program the real
-CLI uses; the first (compile) epoch is excluded.
+CLI uses — including the Pallas VMEM-resident LSTM kernel (the yahoo
+config's default; measured v5e-1: 459 steps/s pallas vs 335 scan). The
+first (compile) epoch is excluded.
 
 Baseline: the PyTorch reference's measured throughput is NOT available
 (BASELINE.json.published is empty and /root/reference was an empty mount —

@@ -1,0 +1,107 @@
+"""Fused Pallas LSTM kernel vs the lax.scan oracle (interpret mode on CPU).
+
+SURVEY.md §4/§7: every Pallas kernel ships with its pure-JAX reference as
+the correctness oracle — forward outputs, final carries, and ALL gradients
+(dxw, dwh, dh0, dc0), masked and unmasked.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from vae_lagging_encoder_tpu.models.lstm_core import lstm_run
+from vae_lagging_encoder_tpu.ops.lstm_pallas import lstm_seq_fused
+
+B, T, H = 8, 12, 128  # H aligned to the TPU lane width
+
+
+def make_inputs(seed=0, masked=True):
+    rng = np.random.RandomState(seed)
+    xw = jnp.asarray(rng.randn(T, B, 4 * H).astype(np.float32) * 0.3)
+    wh = jnp.asarray(rng.uniform(-0.08, 0.08, (H, 4 * H)).astype(np.float32))
+    h0 = jnp.asarray(rng.randn(B, H).astype(np.float32) * 0.1)
+    c0 = jnp.asarray(rng.randn(B, H).astype(np.float32) * 0.1)
+    if masked:
+        lens = rng.randint(3, T + 1, size=B)
+        mask = (np.arange(T)[:, None] < lens[None, :]).astype(np.float32)
+    else:
+        mask = np.ones((T, B), np.float32)
+    return xw, jnp.asarray(mask), wh, h0, c0
+
+
+def scan_oracle(xw, mask, wh, h0, c0):
+    """lax.scan reference with KEPT-state outputs (pallas semantics)."""
+    def step(carry, inp):
+        h, c = carry
+        xw_t, m_t = inp
+        gates = xw_t + h @ wh
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_raw = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_raw = jax.nn.sigmoid(o) * jnp.tanh(c_raw)
+        m = m_t[:, None]
+        h_k = m * h_raw + (1 - m) * h
+        c_k = m * c_raw + (1 - m) * c
+        return (h_k, c_k), h_k
+
+    (hT, cT), hs = jax.lax.scan(step, (h0, c0), (xw, mask))
+    return hs, hT, cT
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    """Run pallas kernels in interpreter mode on CPU."""
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_fused_forward_matches_scan(masked):
+    xw, mask, wh, h0, c0 = make_inputs(masked=masked)
+    hs_p, hT_p, cT_p = lstm_seq_fused(xw, mask, wh, h0, c0)
+    hs_s, hT_s, cT_s = scan_oracle(xw, mask, wh, h0, c0)
+    np.testing.assert_allclose(np.asarray(hs_p), np.asarray(hs_s), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(hT_p), np.asarray(hT_s), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(cT_p), np.asarray(cT_s), atol=2e-5)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_fused_grads_match_scan(masked):
+    xw, mask, wh, h0, c0 = make_inputs(seed=1, masked=masked)
+    tgt_hs = jnp.asarray(np.random.RandomState(2).randn(T, B, H) * 0.1)
+    tgt_h = jnp.asarray(np.random.RandomState(3).randn(B, H) * 0.1)
+
+    def loss_pallas(xw, wh, h0, c0):
+        hs, hT, cT = lstm_seq_fused(xw, mask, wh, h0, c0)
+        return (jnp.sum(hs * tgt_hs) + jnp.sum(hT * tgt_h)
+                + 0.5 * jnp.sum(cT * tgt_h))
+
+    def loss_scan(xw, wh, h0, c0):
+        hs, hT, cT = scan_oracle(xw, mask, wh, h0, c0)
+        return (jnp.sum(hs * tgt_hs) + jnp.sum(hT * tgt_h)
+                + 0.5 * jnp.sum(cT * tgt_h))
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(xw, wh, h0, c0)
+    gs = jax.grad(loss_scan, argnums=(0, 1, 2, 3))(xw, wh, h0, c0)
+    for a, b, name in zip(gp, gs, ("dxw", "dwh", "dh0", "dc0")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4,
+                                   rtol=1e-3, err_msg=name)
+
+
+def test_lstm_run_pallas_backend_matches_scan_backend():
+    """End-to-end through lstm_run: outputs at real positions + final carry."""
+    rng = np.random.RandomState(4)
+    params = {"wx": jnp.asarray(rng.uniform(-0.1, 0.1, (32, 4 * H)).astype(np.float32)),
+              "wh": jnp.asarray(rng.uniform(-0.08, 0.08, (H, 4 * H)).astype(np.float32)),
+              "b": jnp.asarray(rng.uniform(-0.1, 0.1, (4 * H,)).astype(np.float32))}
+    x = jnp.asarray(rng.randn(B, T, 32).astype(np.float32))
+    lens = rng.randint(3, T + 1, size=B)
+    mask = jnp.asarray((np.arange(T)[None, :] < lens[:, None]).astype(np.float32))
+
+    outs_s, (hT_s, cT_s) = lstm_run(params, x, mask, backend="scan")
+    outs_p, (hT_p, cT_p) = lstm_run(params, x, mask, backend="pallas")
+    np.testing.assert_allclose(np.asarray(hT_p), np.asarray(hT_s), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(cT_p), np.asarray(cT_s), atol=2e-5)
+    m = np.asarray(mask)[..., None]
+    np.testing.assert_allclose(np.asarray(outs_p) * m, np.asarray(outs_s) * m,
+                               atol=2e-5)

@@ -12,11 +12,13 @@ def build_text_vae(cfg, vocab_size: int) -> VAE:
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    backend = "pallas" if cfg.use_pallas else "scan"
     enc = GaussianLSTMEncoder(vocab_size, cfg.ni, cfg.enc_nh, cfg.nz,
-                              compute_dtype=dtype)
+                              compute_dtype=dtype, backend=backend)
     dec = LSTMDecoder(vocab_size, cfg.ni, cfg.dec_nh, cfg.nz,
                       dropout_in=cfg.dec_dropout_in,
-                      dropout_out=cfg.dec_dropout_out, compute_dtype=dtype)
+                      dropout_out=cfg.dec_dropout_out, compute_dtype=dtype,
+                      backend=backend)
     return VAE(enc, dec)
 
 

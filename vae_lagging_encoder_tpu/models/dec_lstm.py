@@ -44,7 +44,8 @@ def _dropout(key, x, rate: float, train: bool):
 class LSTMDecoder:
     def __init__(self, vocab_size: int, ni: int, nh: int, nz: int,
                  dropout_in: float = 0.5, dropout_out: float = 0.5,
-                 compute_dtype=jnp.float32, iw_chunk: int = 10):
+                 compute_dtype=jnp.float32, iw_chunk: int = 10,
+                 backend: str = "scan"):
         self.vocab_size = vocab_size
         self.ni = ni
         self.nh = nh
@@ -52,6 +53,7 @@ class LSTMDecoder:
         self.dropout_in = dropout_in
         self.dropout_out = dropout_out
         self.compute_dtype = compute_dtype
+        self.backend = backend
         # z-sample chunk for reconstruct_error when K is large (IW eval):
         # peak logits tensor is [B*iw_chunk, T, V].
         self.iw_chunk = iw_chunk
@@ -95,7 +97,8 @@ class LSTMDecoder:
 
         h0, c0 = self._init_state(params, z_flat)
         outs, _ = lstm_run(params["lstm"], inp, mask=None, h0=h0, c0=c0,
-                           compute_dtype=self.compute_dtype)
+                           compute_dtype=self.compute_dtype,
+                           backend=self.backend)
         return outs  # [K*B, T, nh]
 
     def decode(self, params, tokens_in: jnp.ndarray, z: jnp.ndarray,

@@ -19,12 +19,13 @@ from .lstm_core import init_lstm_params, lstm_run, uniform
 
 class GaussianLSTMEncoder(GaussianEncoderBase):
     def __init__(self, vocab_size: int, ni: int, nh: int, nz: int,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32, backend: str = "scan"):
         self.vocab_size = vocab_size
         self.ni = ni
         self.nh = nh
         self.nz = nz
         self.compute_dtype = compute_dtype
+        self.backend = backend
 
     def init(self, key) -> Dict:
         k_emb, k_lstm, k_lin = jax.random.split(key, 3)
@@ -41,7 +42,8 @@ class GaussianLSTMEncoder(GaussianEncoderBase):
         """tokens int32 [B, T] (full sentence incl. <s>/<\\/s>) → (mu, logvar)."""
         x = params["emb"][tokens]  # [B, T, ni]
         _, (h_final, _) = lstm_run(params["lstm"], x, mask,
-                                   compute_dtype=self.compute_dtype)
+                                   compute_dtype=self.compute_dtype,
+                                   backend=self.backend)
         stats = jnp.dot(h_final, params["linear"],
                         preferred_element_type=jnp.float32)
         mu, logvar = jnp.split(stats, 2, axis=-1)

@@ -62,12 +62,19 @@ def lstm_run(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
              h0: Optional[jnp.ndarray] = None,
              c0: Optional[jnp.ndarray] = None,
              compute_dtype=jnp.float32,
-             unroll: int = 4) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+             unroll: int = 4,
+             backend: str = "scan") -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Run the LSTM over a padded batch.
 
     x: [B, T, input_dim]; mask: [B, T] (1 real / 0 pad) or None.
     Returns (outputs [B, T, H], (h_T, c_T)) where h_T/c_T are the carries at
     each row's final *real* token when a mask is given.
+
+    backend="pallas" routes the recurrence through the fused VMEM-resident
+    kernel (ops/lstm_pallas.py). Note: on masked PAD positions the pallas
+    path emits the *kept* state where scan emits the raw step output — the
+    two agree everywhere a mask is 1 and on the final carries, which is all
+    any caller consumes (decoder is unmasked; encoder uses only the carry).
     """
     B, T, _ = x.shape
     H = params["wh"].shape[0]
@@ -82,6 +89,20 @@ def lstm_run(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
         h0 = jnp.zeros((B, H), jnp.float32)
     if c0 is None:
         c0 = jnp.zeros((B, H), jnp.float32)
+
+    if backend == "pallas" and H % 128 == 0 and B % 8 == 0:
+        from ..ops.lstm_pallas import lstm_seq_fused
+
+        m = (mask.T if mask is not None
+             else jnp.ones((T, B), jnp.float32))
+        # wh must be VMEM-resident for the whole sequence; above H=512 the
+        # f32 matrix (16 MB at H=1024) oversubscribes VMEM, so drop the
+        # weights (only) to bf16 — accumulation stays f32.
+        wh_dtype = jnp.bfloat16 if (H > 512 or compute_dtype == jnp.bfloat16) \
+            else jnp.float32
+        hs, hT, cT = lstm_seq_fused(xw, m, wh.astype(wh_dtype), h0, c0)
+        return hs.transpose(1, 0, 2), (hT, cT)
+    # (pallas requested but shapes off-tile -> fall through to the scan path)
 
     if mask is not None:
         m = mask.T[..., None]  # [T, B, 1]

@@ -1,0 +1,268 @@
+"""Fused LSTM sequence kernel (Pallas, TPU).
+
+Why this exists (SURVEY.md §7 step 6, pallas_guide.md): under ``lax.scan``
+XLA re-reads the recurrent weight matrix ``wh`` [H, 4H] from HBM on every
+timestep — for the flagship config (H=1024, f32) that is 16 MB × T ≈ 1.6 GB
+of HBM traffic per 100-token sequence per direction, and the recurrent
+matmul is tiny ([B=32, H] @ [H, 4H]), so the scan is pure memory-bound. This
+kernel runs the WHOLE sequence in one ``pallas_call`` with:
+
+- ``wh`` resident in VMEM for all T steps (the grid walks t = 0..T-1; the
+  block index map is constant, so the pipeline fetches it once);
+- per-step inputs ``xw[t]`` (the hoisted input projection) streamed
+  HBM→VMEM by the Pallas pipeline with automatic double buffering;
+- the (h, c) carry living in VMEM scratch across sequential grid steps;
+- the variable-length *masked carry* (lstm_core semantics) fused in.
+
+The backward pass is a reverse-sweep Pallas kernel producing the gate-
+preactivation grads ``da`` [T, B, 4H]; ``dxw = da`` falls out additively and
+``dwh = h_prevᵀ @ da`` is one big XLA matmul outside the kernel (MXU-sized,
+[T·B, H]ᵀ @ [T·B, 4H]) — this keeps the 16 MB f32 ``dwh`` accumulator out
+of VMEM. Residuals are the (masked-carry) state sequences hs/cs; gate
+activations are recomputed in the reverse sweep (one extra matmul per step,
+cheaper than streaming 4H·B per step back from HBM).
+
+Weights are fed to both kernels in ``param_dtype`` (bf16 by default so
+H=1024 fits VMEM twice over; f32 accumulation via
+``preferred_element_type``). Correctness vs the lax.scan oracle is tested
+in interpret mode (tests/test_pallas.py) and on-device.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# The Mosaic scoped-VMEM default (16 MB) is tight for H=1024: bf16 wh (8 MB)
+# + double-buffered per-step streams + the reverse kernel's extra residual
+# streams overflow it; v5e's physical VMEM is far larger, so raise the cap.
+VMEM_LIMIT_BYTES = 48 * 1024 * 1024
+
+
+def _gates(xw_t, h, wh):
+    a = xw_t + jax.lax.dot_general(
+        h, wh, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    i, f, g, o = jnp.split(a, 4, axis=-1)
+    return (jax.nn.sigmoid(i), jax.nn.sigmoid(f), jnp.tanh(g),
+            jax.nn.sigmoid(o))
+
+
+# ---------------------------------------------------------------- forward
+def _fwd_kernel(xw_ref, mask_ref, wh_ref, h0_ref, c0_ref,
+                hs_ref, cs_ref, hT_ref, cT_ref, h_scr, c_scr):
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[:]
+        c_scr[:] = c0_ref[:]
+
+    h_prev = h_scr[:]
+    c_prev = c_scr[:]
+    wh = wh_ref[:]
+    H = h_prev.shape[-1]
+    i, f, g, o = _gates(xw_ref[0], h_prev.astype(wh.dtype), wh)
+    c_raw = f * c_prev + i * g
+    h_raw = o * jnp.tanh(c_raw)
+    # mask streams as (1, B, 128) blocks; lane-repeat up to (B, H)
+    m = mask_ref[0]
+    if H > 128:
+        m = pltpu.repeat(m, H // 128, axis=1)
+    h_keep = m * h_raw + (1.0 - m) * h_prev
+    c_keep = m * c_raw + (1.0 - m) * c_prev
+    h_scr[:] = h_keep
+    c_scr[:] = c_keep
+    hs_ref[0] = h_keep
+    cs_ref[0] = c_keep
+
+    @pl.when(t == T - 1)
+    def _():
+        hT_ref[:] = h_keep
+        cT_ref[:] = c_keep
+
+
+def _mask128(mask):
+    T, B = mask.shape
+    return jnp.broadcast_to(mask[:, :, None], (T, B, 128))
+
+
+def _fwd_call(xw, mask, wh, h0, c0):
+    T, B, H4 = xw.shape
+    H = H4 // 4
+    mask = _mask128(mask)
+    f32 = jnp.float32
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, H4), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # mask pre-broadcast to lane width on the host side ([T, B, 128])
+            # and streamed per step — (1, B) blocks violate the (8, 128)
+            # tiling rule and dynamic sublane indexing faults the worker
+            pl.BlockSpec((1, B, 128), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H), f32),
+            jax.ShapeDtypeStruct((T, B, H), f32),
+            jax.ShapeDtypeStruct((B, H), f32),
+            jax.ShapeDtypeStruct((B, H), f32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, H), f32), pltpu.VMEM((B, H), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
+    )(xw, mask, wh, h0, c0)
+
+
+# ---------------------------------------------------------------- backward
+def _bwd_kernel(xw_ref, mask_ref, wh_ref, hprev_ref, cprev_ref,
+                dhs_ref, dhT_ref, dcT_ref,
+                da_ref, dh0_ref, dc0_ref, dh_scr, dc_scr):
+    t = pl.program_id(0)          # 0..T-1, walking REVERSED time
+    T = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _():
+        dh_scr[:] = dhT_ref[:]
+        dc_scr[:] = dcT_ref[:]
+
+    wh = wh_ref[:]
+    h_prev = hprev_ref[0]
+    c_prev = cprev_ref[0]
+    i, f, g, o = _gates(xw_ref[0], h_prev.astype(wh.dtype), wh)
+    c_raw = f * c_prev + i * g
+    tanh_c = jnp.tanh(c_raw)
+
+    dhk = dh_scr[:] + dhs_ref[0]
+    dck = dc_scr[:]
+    H = h_prev.shape[-1]
+    m = mask_ref[0]  # (B, 128) block at reversed time; lane-repeat to (B, H)
+    if H > 128:
+        m = pltpu.repeat(m, H // 128, axis=1)
+    dh_raw = m * dhk
+    dc_raw = m * dck
+
+    do = dh_raw * tanh_c
+    dc_tot = dc_raw + dh_raw * o * (1.0 - tanh_c * tanh_c)
+    di = dc_tot * g
+    df = dc_tot * c_prev
+    dg = dc_tot * i
+    da = jnp.concatenate([
+        di * i * (1.0 - i),
+        df * f * (1.0 - f),
+        dg * (1.0 - g * g),
+        do * o * (1.0 - o),
+    ], axis=-1)
+    da_ref[0] = da
+
+    # grads flowing to the previous step's kept state
+    dh_gates = jax.lax.dot_general(
+        da.astype(wh.dtype), wh, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dh_scr[:] = dh_gates + (1.0 - m) * dhk
+    dc_scr[:] = dc_tot * f + (1.0 - m) * dck
+
+    @pl.when(t == T - 1)
+    def _():
+        dh0_ref[:] = dh_scr[:]
+        dc0_ref[:] = dc_scr[:]
+
+
+def _bwd_call(xw, mask, wh, h_prev_seq, c_prev_seq, dhs, dhT, dcT):
+    T, B, H4 = xw.shape
+    H = H4 // 4
+    mask = _mask128(mask)
+    f32 = jnp.float32
+    rev = lambda t: (T - 1 - t, 0, 0)
+    const = lambda t: (0, 0)
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, H4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 128), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, H4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), const, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H4), f32),
+            jax.ShapeDtypeStruct((B, H), f32),
+            jax.ShapeDtypeStruct((B, H), f32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, H), f32), pltpu.VMEM((B, H), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
+    )(xw, mask, wh, h_prev_seq, c_prev_seq, dhs, dhT, dcT)
+
+
+# ---------------------------------------------------------------- public op
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def lstm_seq_fused(xw: jnp.ndarray, mask: jnp.ndarray, wh: jnp.ndarray,
+                   h0: jnp.ndarray, c0: jnp.ndarray):
+    """Run an LSTM over a whole sequence in one fused TPU kernel.
+
+    xw [T, B, 4H] — input projection incl. bias (hoisted MXU matmul);
+    mask [T, B] — 1.0 real / 0.0 pad (masked carry, lstm_core semantics);
+    wh [H, 4H] — recurrent weights (cast to the kernel dtype by the caller);
+    h0, c0 [B, H].
+    Returns (hs [T, B, H], hT [B, H], cT [B, H]) — hs are the kept states.
+    """
+    hs, _, hT, cT = _fwd_call(xw, mask, wh, h0, c0)
+    return hs, hT, cT
+
+
+def _fused_fwd(xw, mask, wh, h0, c0):
+    hs, cs, hT, cT = _fwd_call(xw, mask, wh, h0, c0)
+    return (hs, hT, cT), (xw, mask, wh, h0, c0, hs, cs)
+
+
+def _fused_bwd(res, cts):
+    xw, mask, wh, h0, c0, hs, cs = res
+    dhs, dhT, dcT = cts
+    T = xw.shape[0]
+    h_prev_seq = jnp.concatenate([h0[None], hs[:-1]], axis=0)
+    c_prev_seq = jnp.concatenate([c0[None], cs[:-1]], axis=0)
+    zero = jnp.zeros_like(h0)
+    da, dh0, dc0 = _bwd_call(
+        xw, mask, wh, h_prev_seq, c_prev_seq,
+        jnp.zeros_like(hs) if dhs is None else dhs,
+        zero if dhT is None else dhT,
+        zero if dcT is None else dcT)
+    # dwh as ONE MXU matmul outside the kernel: [H, T*B] @ [T*B, 4H]
+    H = wh.shape[0]
+    dwh = jax.lax.dot_general(
+        h_prev_seq.reshape(-1, H), da.reshape(-1, wh.shape[1]),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(wh.dtype)
+    return da, None, dwh, dh0, dc0
+
+
+lstm_seq_fused.defvjp(_fused_fwd, _fused_bwd)
