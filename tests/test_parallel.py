@@ -63,6 +63,52 @@ def test_dp_step_matches_single_device():
                                rtol=1e-5)
 
 
+def test_dp_fused_epoch_matches_single_device():
+    """The whole fused epoch under shard_map (psum'd inner+outer grads)
+    must reproduce the single-device epoch exactly (same keys, same order,
+    dropout off)."""
+    import jax.numpy as jnp
+    from vae_lagging_encoder_tpu.data import BucketedPool
+    from vae_lagging_encoder_tpu.train import make_train_epoch
+
+    cfg = get_config("synthetic", ni=8, enc_nh=16, nz=2, dec_nh=16,
+                     dec_dropout_in=0.0, dec_dropout_out=0.0, batch_size=16,
+                     warm_up=1, burn_max_iters=4, burn_window=2)
+    sents, _ = generate_synthetic_corpus(num_sentences=96, vocab_size=20,
+                                         min_len=4, max_len=12, seed=5)
+    data = MonoTextData(sentences=sents)
+    vae = build_text_vae(cfg, len(data.vocab))
+    params = vae.init(jax.random.PRNGKey(0))
+
+    def run(mesh):
+        pool = BucketedPool(data.create_data_batch(16, buckets=(8, 16)))
+        if mesh is not None:
+            pool.shard(mesh)
+        epoch_fn, opt_init = make_train_epoch(vae, pool, cfg, mesh=mesh)
+        p = jax.tree.map(jnp.copy, params)
+        order = jnp.arange(pool.num_batches, dtype=jnp.int32)
+        return epoch_fn(p, opt_init(p), jax.random.PRNGKey(7),
+                        jnp.float32(0.5), jnp.float32(0.3), order,
+                        aggressive=True)
+
+    p1, _, klw1, sums1, ii1 = run(None)
+    p8, _, klw8, sums8, ii8 = run(make_mesh(8))
+    # NOTE: per-shard loss keys differ from the single-device key stream, so
+    # z-samples differ; compare only data-independent bookkeeping exactly
+    # and the training trajectory approximately.
+    assert float(klw1) == float(klw8)
+    assert int(ii1) > 0 and int(ii8) > 0
+    n1 = float(sums1[3]); n8 = float(sums8[3])
+    assert n1 == n8 == 96.0
+    # losses in the same ballpark (same data, same algorithm)
+    l1 = float(sums1[0]) / n1
+    l8 = float(sums8[0]) / n8
+    assert abs(l1 - l8) / l1 < 0.15, (l1, l8)
+    # params finite everywhere
+    for leaf in jax.tree.leaves(p8):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_dp_step_runs_multiple_steps():
     cfg = get_config("synthetic", ni=8, enc_nh=12, nz=2, dec_nh=12,
                      dec_dropout_in=0.0, dec_dropout_out=0.0)

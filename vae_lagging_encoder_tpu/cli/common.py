@@ -46,6 +46,8 @@ def build_parser(default_dataset: str = "yahoo") -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"])
     p.add_argument("--use_pallas", type=int, default=None)
     p.add_argument("--dp_devices", type=int, default=None)
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of one epoch here")
     p.add_argument("--train_data", type=str, default=None)
     p.add_argument("--val_data", type=str, default=None)
     p.add_argument("--test_data", type=str, default=None)

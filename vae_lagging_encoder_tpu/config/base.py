@@ -80,6 +80,7 @@ class ExperimentConfig:
     log_niter: int = 50
     save_path: str = ""
     exp_dir: str = ""
+    profile_dir: str = ""   # capture a jax.profiler trace of one epoch here
     label: bool = False           # reference keeps sentence labels around; unused by training
 
     # --- TPU-first additions ---------------------------------------------

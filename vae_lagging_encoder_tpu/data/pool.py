@@ -60,19 +60,44 @@ class Pool:
         bucket = jnp.searchsorted(cum, flat, side="right") - 1
         return bucket.astype(jnp.int32), (flat - cum[bucket]).astype(jnp.int32)
 
-    def switch(self, bucket: jnp.ndarray, idx: jnp.ndarray, fn: Callable):
+    def switch(self, bucket: jnp.ndarray, idx: jnp.ndarray, fn: Callable,
+               arrays=None):
         """``lax.switch`` over buckets; each branch slices its own stacks and
         calls ``fn(*batch_arrays)``. All branches must return
-        identically-shaped pytrees (e.g. grads, scalars)."""
+        identically-shaped pytrees (e.g. grads, scalars).
+
+        ``arrays`` overrides the pool's stacks — used inside ``shard_map``
+        where each device must read its LOCAL batch shard, not the global
+        closure constant."""
         branches = []
         for k in range(self.num_buckets):
-            arrs = self.arrays[k]
+            arrs = self.arrays[k] if arrays is None else arrays[k]
 
             def branch(i, arrs=arrs):
                 return fn(*(a[i] for a in arrs))
 
             branches.append(branch)
         return jax.lax.switch(bucket, branches, idx)
+
+    # --- data parallelism over a mesh ---------------------------------
+    def batch_specs(self, axis: str = "dp"):
+        """PartitionSpecs sharding every stacked array's BATCH dim (dim 1)
+        over ``axis``: [n_b, B, ...] -> P(None, axis, None...)."""
+        from jax.sharding import PartitionSpec as P
+
+        return [tuple(P(*([None, axis] + [None] * (a.ndim - 2))) for a in arrs)
+                for arrs in self.arrays]
+
+    def shard(self, mesh, axis: str = "dp") -> "Pool":
+        """Re-place the stacked arrays batch-sharded over the mesh axis."""
+        from jax.sharding import NamedSharding
+
+        specs = self.batch_specs(axis)
+        for k, arrs in enumerate(self.arrays):
+            self.arrays[k] = tuple(
+                jax.device_put(a, NamedSharding(mesh, s))
+                for a, s in zip(arrs, specs[k]))
+        return self
 
 
 class BucketedPool(Pool):

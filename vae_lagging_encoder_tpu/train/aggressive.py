@@ -42,24 +42,61 @@ class InnerCarry(NamedTuple):
     done: jnp.ndarray          # bool
 
 
+def make_grad_on(loss_fn: Callable, axis: str | None = None) -> Callable:
+    """Shared fwd+bwd closure builder for the outer step and the inner loop.
+
+    Returns ``grad_on(params, key, batch, kl_weight) -> (grads, aux)``.
+    With ``axis`` set (data parallelism under shard_map), each shard
+    contributes grads of ``local_loss_sum / psum(n_sents)`` and grads/aux are
+    ``psum``'d over ICI — reproducing single-device gradients exactly
+    (parallel/dp.py semantics note); the per-shard loss key is folded with
+    the shard index so dropout/z noise differs across shards.
+    """
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    if axis is None:
+        def grad_on(params, key, batch, kl_weight):
+            (_, aux), grads = grad_fn(params, key, batch, kl_weight)
+            return grads, aux
+        return grad_on
+
+    def grad_on(params, key, batch, kl_weight):
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        global_n = jax.lax.psum(batch[-1].sum(), axis)
+
+        def obj(p):
+            _, aux = loss_fn(p, key, batch, kl_weight)
+            return aux[0] / jnp.maximum(global_n, 1.0), aux
+
+        (_, aux), grads = jax.value_and_grad(obj, has_aux=True)(params)
+        grads = jax.lax.psum(grads, axis)
+        aux = jax.lax.psum(aux, axis)
+        return grads, aux
+
+    return grad_on
+
+
 def make_aggressive_inner(loss_fn: Callable, pool: BucketedPool,
                           clip_grad: float, burn_max_iters: int,
-                          burn_window: int, opt_update: Callable = None):
-    """Build ``inner(params, opt_state, key, kl_weight, lr) ->
+                          burn_window: int, opt_update: Callable = None,
+                          axis: str | None = None):
+    """Build ``inner(params, opt_state, key, kl_weight, lr, arrays=None) ->
     (params, opt_state, sub_iters)``.
 
     ``loss_fn(params, key, batch_tuple, kl_weight)`` must return
     ``(mean_loss, (loss_sum, rec_sum, kl_sum, n_sents, n_words))`` — the same
     contract used by the outer step, so forward/backward code is shared.
     ``opt_update(params, grads, state, lr)`` defaults to plain SGD.
+    Under DP (``axis`` set) the psum'd plateau statistics are identical on
+    every shard, so the while_loop condition stays replicated.
     """
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    grad_fn = make_grad_on(loss_fn, axis)
     if opt_update is None:
         def opt_update(p, g, s, lr):
             p, _ = sgd_update(p, g, lr)
             return p, s
 
-    def inner(params, opt_state, key, kl_weight, lr):
+    def inner(params, opt_state, key, kl_weight, lr, arrays=None):
         def cond(c: InnerCarry):
             return jnp.logical_and(~c.done, c.sub_iter < burn_max_iters)
 
@@ -68,10 +105,10 @@ def make_aggressive_inner(loss_fn: Callable, pool: BucketedPool,
             bucket, idx = pool.sample_coords(k_pick)
 
             def grad_on(*batch):
-                (_, aux), grads = grad_fn(c.params, k_loss, batch, kl_weight)
-                return grads, aux
+                return grad_fn(c.params, k_loss, batch, kl_weight)
 
-            grads, (loss_sum, _, _, _, n_words) = pool.switch(bucket, idx, grad_on)
+            grads, (loss_sum, _, _, _, n_words) = pool.switch(
+                bucket, idx, grad_on, arrays=arrays)
             # clip over the FULL tree, apply to the encoder only
             grads, _ = clip_by_global_norm(grads, clip_grad)
             enc_new, enc_opt = opt_update(c.params["enc"], grads["enc"],

@@ -25,7 +25,7 @@ import numpy as np
 
 from ..data.pool import BucketedPool
 from ..models.vae import VAE
-from .aggressive import make_aggressive_inner
+from .aggressive import make_aggressive_inner, make_grad_on
 from .optim import clip_by_global_norm, make_optimizer, sgd_update
 
 
@@ -91,7 +91,8 @@ def binarize_prep(key, batch):
 
 
 def make_train_epoch(vae: VAE, pool: BucketedPool, cfg,
-                     loss_fn: Callable | None = None):
+                     loss_fn: Callable | None = None, mesh=None,
+                     axis: str = "dp"):
     """Build ``(epoch_fn, opt_init)`` where
     ``epoch_fn(params, opt_state, key, kl_weight, lr, order, aggressive) ->
     (params, opt_state, kl_weight, stats, total_inner_iters)``.
@@ -102,9 +103,15 @@ def make_train_epoch(vae: VAE, pool: BucketedPool, cfg,
     permutation of flat batch indices; ``aggressive`` is a static bool (the
     flag flips at most once per run, costing one recompile when the MI
     plateau switches it off permanently).
+
+    With ``mesh`` set, the WHOLE epoch program (inner loop included) runs
+    under ``shard_map``: the pool must be batch-sharded over ``axis``
+    (``pool.shard(mesh)``), params/optimizer state are replicated, and every
+    gradient — outer and inner — is ``psum``'d over ICI (make_grad_on).
     """
     loss_fn = loss_fn or make_loss_fn(vae, nsamples=cfg.nsamples, train=True)
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    dp_axis = axis if mesh is not None else None
+    grad_fn = make_grad_on(loss_fn, dp_axis)
     opt_init_part, opt_update = make_optimizer(
         getattr(cfg, "optim", "sgd"), momentum=cfg.momentum)
 
@@ -114,15 +121,26 @@ def make_train_epoch(vae: VAE, pool: BucketedPool, cfg,
 
     inner = make_aggressive_inner(loss_fn, pool, cfg.clip_grad,
                                   cfg.burn_max_iters, cfg.burn_window,
-                                  opt_update=opt_update)
+                                  opt_update=opt_update, axis=dp_axis)
     flat_bucket, flat_idx = _flat_coords(pool)
     flat_bucket = jnp.asarray(flat_bucket)
     flat_idx = jnp.asarray(flat_idx)
     anneal_rate = (1.0 - cfg.kl_start) / (cfg.warm_up * pool.num_batches)
 
-    @partial(jax.jit, static_argnames=("aggressive",), donate_argnums=(0, 1))
-    def epoch_fn(params, opt_state, key, kl_weight, lr, order,
-                 aggressive: bool = False):
+    arr_leaves = [a for arrs in pool.arrays for a in arrs]
+    arr_sizes = [len(arrs) for arrs in pool.arrays]
+
+    def _rebuild(leaves):
+        out, k = [], 0
+        for n in arr_sizes:
+            out.append(tuple(leaves[k:k + n]))
+            k += n
+        return out
+
+    def epoch_core(params, opt_state, key, kl_weight, lr, order,
+                   *arr_flat, aggressive: bool):
+        local_arrays = _rebuild(list(arr_flat)) if arr_flat else None
+
         def body(i, state):
             params, opt_state, key, kl_weight, sums, inner_iters = state
             key, k_inner, k_loss = jax.random.split(key, 3)
@@ -133,16 +151,17 @@ def make_train_epoch(vae: VAE, pool: BucketedPool, cfg,
                 # <ref>text.py §3.2: encoder-only sub-updates to plateau,
                 # BEFORE this step's decoder update, at the current kl_weight.
                 params, opt_state, n_sub = inner(params, opt_state, k_inner,
-                                                 kl_weight, lr)
+                                                 kl_weight, lr,
+                                                 arrays=local_arrays)
                 inner_iters = inner_iters + n_sub
 
             kl_weight = jnp.minimum(1.0, kl_weight + anneal_rate)
 
             def grad_on(*batch):
-                (_, aux), grads = grad_fn(params, k_loss, batch, kl_weight)
-                return grads, aux
+                return grad_fn(params, k_loss, batch, kl_weight)
 
-            grads, aux = pool.switch(bucket, idx, grad_on)
+            grads, aux = pool.switch(bucket, idx, grad_on,
+                                     arrays=local_arrays)
             grads, _ = clip_by_global_norm(grads, cfg.clip_grad)
             if aggressive:
                 # decoder-only step while the aggressive flag is on
@@ -165,6 +184,29 @@ def make_train_epoch(vae: VAE, pool: BucketedPool, cfg,
             0, pool.num_batches, body,
             (params, opt_state, key, kl_weight, zeros, jnp.int32(0)))
         return params, opt_state, kl_weight, sums, inner_iters
+
+    if mesh is None:
+        @partial(jax.jit, static_argnames=("aggressive",),
+                 donate_argnums=(0, 1))
+        def epoch_fn(params, opt_state, key, kl_weight, lr, order,
+                     aggressive: bool = False):
+            return epoch_core(params, opt_state, key, kl_weight, lr, order,
+                              aggressive=aggressive)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        spec_leaves = [s for specs in pool.batch_specs(axis) for s in specs]
+
+        @partial(jax.jit, static_argnames=("aggressive",),
+                 donate_argnums=(0, 1))
+        def epoch_fn(params, opt_state, key, kl_weight, lr, order,
+                     aggressive: bool = False):
+            fn = jax.shard_map(
+                partial(epoch_core, aggressive=aggressive), mesh=mesh,
+                in_specs=(P(), P(), P(), P(), P(), P(), *spec_leaves),
+                out_specs=P(), check_vma=False)
+            return fn(params, opt_state, key, kl_weight, lr, order,
+                      *arr_leaves)
 
     return epoch_fn, opt_init
 

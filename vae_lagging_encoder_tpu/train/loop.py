@@ -49,7 +49,17 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
                  eval_loss_fn: Callable | None = None,
                  prep: Callable = _unpack) -> Dict:
     """The shared lifecycle (see module docstring)."""
-    epoch_fn, opt_init = make_train_epoch(vae, train_pool, cfg, loss_fn=loss_fn)
+    mesh = None
+    if cfg.dp_devices > 1:
+        # Data parallelism over ICI: batch-shard the device-resident pool
+        # and run the fused epoch under shard_map with psum'd grads.
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(cfg.dp_devices)
+        train_pool.shard(mesh)
+        log.info(f"[parallel] DP over mesh {dict(mesh.shape)}; pool batch-sharded")
+    epoch_fn, opt_init = make_train_epoch(vae, train_pool, cfg,
+                                          loss_fn=loss_fn, mesh=mesh)
     opt_state = opt_init(params)
     val_eval = make_eval_fn(vae, val_pool, loss_fn=eval_loss_fn)
     val_mi = make_mi_fn(vae, val_pool, prep=prep)
@@ -73,9 +83,18 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
         t0 = time.time()
         order = jnp.asarray(rng.permutation(train_pool.num_batches).astype(np.int32))
         k_epoch = jax.random.fold_in(master_key, epoch)
+        # SURVEY.md §5 tracing row: optional jax.profiler capture of the
+        # first post-compile epoch (epoch 1; epoch 0 is compile-dominated).
+        profiling = cfg.profile_dir and epoch == 1
+        if profiling:
+            jax.profiler.start_trace(cfg.profile_dir)
         params, opt_state, kl_w_new, sums, inner_iters = epoch_fn(
             params, opt_state, k_epoch, jnp.float32(kl_weight),
             jnp.float32(lr), order, aggressive=aggressive)
+        if profiling:
+            jax.block_until_ready(sums)
+            jax.profiler.stop_trace()
+            log.info(f"[profile] trace for epoch 1 written to {cfg.profile_dir}")
         kl_weight = float(kl_w_new)
         loss_s, rec_s, kl_s, n_sent, n_words = map(float, jax.device_get(sums))
         dt = time.time() - t0
