@@ -79,6 +79,29 @@ class MonoTextData:
         if sentences is None:
             if fname is None:
                 raise ValueError("need fname or sentences")
+            # native fast path: vocab build + CSR id-encoding in C++
+            # (data/native.py; falls back to the Python reader below)
+            from . import native
+            from .vocab import BOS_ID, EOS_ID, UNK_ID, _SPECIALS
+
+            if vocab is None:
+                nv = native.count_vocab(fname, label)
+                if nv is not None:
+                    vocab = Vocab.from_counts(*nv, max_size=max_vocab)
+            if vocab is not None:
+                words = [vocab.id2word_[i]
+                         for i in range(len(_SPECIALS), len(vocab))]
+                enc = native.encode_corpus(fname, label, words,
+                                           unk_id=UNK_ID,
+                                           first_id=len(_SPECIALS))
+                if enc is not None:
+                    ids, offs, lab = enc
+                    self.vocab = vocab
+                    self.labels = ([int(x) for x in lab] if label else None)
+                    self.data = [
+                        [BOS_ID] + ids[offs[i]:offs[i + 1]].tolist() + [EOS_ID]
+                        for i in range(len(offs) - 1)]
+                    return
             sentences, labels = self._read(fname, label)
         self.labels = labels
         if vocab is None:

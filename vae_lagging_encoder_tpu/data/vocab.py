@@ -43,8 +43,30 @@ class Vocab:
         return cls(word2id)
 
     @classmethod
-    def from_file(cls, path: str, **kw) -> "Vocab":
+    def from_counts(cls, ordered_words, counts, max_size=None,
+                    min_freq: int = 1) -> "Vocab":
+        """Build from (word, count) pairs already ordered count-desc/lex."""
+        word2id = {sp: i for i, sp in enumerate(_SPECIALS)}
+        for w, c in zip(ordered_words, counts):
+            if w in word2id or c < min_freq:
+                continue
+            if max_size is not None and len(word2id) >= max_size + len(_SPECIALS):
+                break
+            word2id[w] = len(word2id)
+        return cls(word2id)
+
+    @classmethod
+    def from_file(cls, path: str, label: bool = False, **kw) -> "Vocab":
+        # native fast path (csrc/textproc.cpp) with pure-Python fallback
+        from . import native
+
+        nc = native.count_vocab(path, label)
+        if nc is not None:
+            return cls.from_counts(*nc, **kw)
         with open(path) as fh:
+            if label:
+                return cls.from_corpus(
+                    (line.split("\t", 1)[-1].split() for line in fh), **kw)
             return cls.from_corpus((line.split() for line in fh), **kw)
 
     # --- lookup ---------------------------------------------------------
