@@ -151,6 +151,34 @@ def test_checkpoint_roundtrip(tmp_path, setup):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_resume_continues_training(tmp_path):
+    """--resume restores kl_weight/lr/epoch/flags and continues."""
+    from vae_lagging_encoder_tpu.train import train_text
+
+    root = tmp_path / "data"
+    root.mkdir()
+    sents, topics = generate_synthetic_corpus(num_sentences=120, vocab_size=25,
+                                              min_len=4, max_len=14, seed=11)
+    for split, sl in {"train": slice(0, 80), "valid": slice(80, 100),
+                      "test": slice(100, 120)}.items():
+        with open(root / f"{split}.txt", "w") as fh:
+            for t, s in zip(topics[sl], sents[sl]):
+                fh.write(f"{t}\t" + " ".join(s) + "\n")
+    cfg = tiny_cfg(train_data=str(root / "train.txt"),
+                   val_data=str(root / "valid.txt"),
+                   test_data=str(root / "test.txt"), epochs=2,
+                   save_path=str(tmp_path / "m.ckpt"))
+    train_text(cfg)
+    from vae_lagging_encoder_tpu.train import load_checkpoint
+    _, extra1 = load_checkpoint(cfg.save_path)
+    # resume for 2 more epochs
+    cfg2 = cfg.replace(epochs=4, load_path=cfg.save_path, resume=True)
+    r2 = train_text(cfg2)
+    _, extra2 = load_checkpoint(cfg.save_path)
+    assert extra2["epoch"] > extra1["epoch"]
+    assert np.isfinite(r2["iw_nll"])
+
+
 def test_train_text_end_to_end(tmp_path):
     """Full lifecycle smoke: plain + aggressive, 2 epochs, tiny data."""
     from vae_lagging_encoder_tpu.train import train_text

@@ -27,6 +27,8 @@ def build_parser(default_dataset: str = "yahoo") -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--eval", action="store_true")
     p.add_argument("--load_path", type=str, default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="continue training from load_path's saved state")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
@@ -61,7 +63,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
         if k in fields and v is not None and k != "dataset":
             if k in ("aggressive", "label", "use_pallas"):
                 v = bool(v)
-            if k == "eval" and not v:
+            if k in ("eval", "resume") and not v:
                 continue  # store_true default False shouldn't override
             overrides[k] = v
     return get_config(args.dataset, **overrides)

@@ -6,6 +6,11 @@ Usage (reference-compatible):
     python -m vae_lagging_encoder_tpu.cli.text --dataset synthetic --epochs 5
     python -m vae_lagging_encoder_tpu.cli.text --dataset yahoo --eval \
         --load_path models/yahoo/model.ckpt
+    # resume a killed run
+    ... --load_path models/yahoo/model.ckpt --resume
+    # generation / reconstruction from a trained checkpoint
+    ... --load_path ck --sample_from_prior --num_samples 20
+    ... --load_path ck --reconstruct --decoding_strategy beam
 """
 from __future__ import annotations
 
@@ -16,19 +21,91 @@ from ..train.loop import train_text
 from .common import build_parser, config_from_args, make_run_logger
 
 
+def build_text_parser():
+    p = build_parser(default_dataset="yahoo")
+    p.add_argument("--sample_from_prior", action="store_true",
+                   help="sample sentences from the prior (needs --load_path)")
+    p.add_argument("--reconstruct", action="store_true",
+                   help="reconstruct test sentences (needs --load_path)")
+    p.add_argument("--decoding_strategy", type=str, default="greedy",
+                   choices=["greedy", "sample", "beam"])
+    p.add_argument("--num_samples", type=int, default=10)
+    p.add_argument("--max_decode_len", type=int, default=100)
+    p.add_argument("--output_file", type=str, default="")
+    return p
+
+
 def init_config(argv=None):
-    args = build_parser(default_dataset="yahoo").parse_args(argv)
+    args = build_text_parser().parse_args(argv)
     cfg = config_from_args(args)
     if cfg.model_type != "text":
         raise SystemExit(f"--dataset {cfg.dataset} is not a text dataset; "
                          "use vae_lagging_encoder_tpu.cli.image")
-    return cfg
+    return cfg, args
+
+
+def generate(cfg, args, log) -> int:
+    """Prior sampling / test-set reconstruction from a checkpoint.
+
+    Parity: <ref>vae.py §sample_from_prior/§reconstruct driven from the
+    experiment script; greedy/sample decode run on device, beam on host.
+    """
+    import jax
+
+    from ..data import BucketedPool
+    from ..models import build_text_vae
+    from ..train.checkpoint import load_checkpoint
+    from ..train.loop import load_text_datasets
+
+    if not cfg.load_path:
+        raise SystemExit("--sample_from_prior/--reconstruct need --load_path")
+    train_data, _, test_data = load_text_datasets(cfg)
+    vocab = train_data.vocab
+    vae = build_text_vae(cfg, len(vocab))
+    params, _ = load_checkpoint(cfg.load_path)
+    import jax.numpy as jnp
+    params = jax.tree.map(jnp.asarray, params)  # host numpy -> device
+    key = jax.random.PRNGKey(cfg.seed)
+    lines = []
+    if args.sample_from_prior:
+        z = vae.sample_from_prior(key, args.num_samples)
+        if args.decoding_strategy == "beam":
+            outs = vae.decoder.beam_search_decode(params["dec"], z,
+                                                  max_len=args.max_decode_len)
+        elif args.decoding_strategy == "sample":
+            outs = vae.decoder.sample_decode(params["dec"], key, z,
+                                             args.max_decode_len)
+        else:
+            outs = vae.decoder.greedy_decode(params["dec"], z,
+                                             args.max_decode_len)
+        lines = [" ".join(vocab.decode(row)) for row in list(outs)]
+    else:  # reconstruct
+        batches = test_data.create_data_batch(cfg.batch_size, cfg.length_buckets)
+        import jax.numpy as jnp
+        for b in batches[: max(1, args.num_samples // cfg.batch_size)]:
+            outs = vae.reconstruct(params, key, jnp.asarray(b.tokens),
+                                   jnp.asarray(b.mask),
+                                   decoding_strategy=args.decoding_strategy,
+                                   max_len=args.max_decode_len)
+            for row, w in zip(list(outs), b.row_weight):
+                if w > 0:
+                    lines.append(" ".join(vocab.decode(row)))
+    text = "\n".join(lines)
+    if args.output_file:
+        with open(args.output_file, "w") as fh:
+            fh.write(text + "\n")
+        log.info(f"[generate] {len(lines)} sentences -> {args.output_file}")
+    else:
+        log.info(text)
+    return 0
 
 
 def main(argv=None) -> int:
-    cfg = init_config(argv)
+    cfg, args = init_config(argv)
     with make_run_logger(cfg, "text") as log:
         log.info(f"[config] {cfg}")
+        if args.sample_from_prior or args.reconstruct:
+            return generate(cfg, args, log)
         results = train_text(cfg, log)
         log.info("[results] " + json.dumps(
             {k: v for k, v in results.items() if k != "history"},

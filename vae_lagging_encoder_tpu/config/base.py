@@ -74,6 +74,7 @@ class ExperimentConfig:
     iw_batch: int = 100           # IW chunk size (ns in <ref>vae.nll_iw)
     eval: bool = False
     load_path: str = ""
+    resume: bool = False          # continue training from load_path's state
     test_nepoch: int = 5          # eval-on-test cadence (epochs)
 
     # --- bookkeeping -------------------------------------------------------

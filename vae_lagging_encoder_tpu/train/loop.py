@@ -47,8 +47,12 @@ def load_text_datasets(cfg: ExperimentConfig):
 def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
                  test_pool, log: Logger, loss_fn: Callable | None = None,
                  eval_loss_fn: Callable | None = None,
-                 prep: Callable = _unpack) -> Dict:
+                 prep: Callable = _unpack,
+                 resume_state: Optional[Dict] = None) -> Dict:
     """The shared lifecycle (see module docstring)."""
+    if cfg.resume and not cfg.load_path:
+        raise SystemExit("--resume requires --load_path (a checkpoint to "
+                         "continue from)")
     mesh = None
     if cfg.dp_devices > 1:
         # Data parallelism over ICI: batch-shard the device-resident pool
@@ -73,13 +77,31 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
     best_params = to_host(params)
     decay_cnt = 0
     not_improved = 0
+    start_epoch = 0
+    if resume_state:
+        # full mid-training resume — beyond the reference's best-params-only
+        # checkpoints (SURVEY.md §5 checkpoint rebuild note)
+        kl_weight = float(resume_state.get("kl_weight", kl_weight))
+        lr = float(resume_state.get("lr", lr))
+        aggressive = bool(resume_state.get("aggressive", aggressive))
+        pre_mi = float(resume_state.get("pre_mi", pre_mi))
+        best_loss = float(resume_state.get("best_loss",
+                                           resume_state.get("val", {})
+                                           .get("loss", best_loss)))
+        decay_cnt = int(resume_state.get("decay_cnt", 0))
+        not_improved = int(resume_state.get("not_improved", 0))
+        start_epoch = int(resume_state.get("epoch", -1)) + 1
+        log.info(f"[resume] from epoch {start_epoch} (kl_weight {kl_weight:.4f}, "
+                 f"lr {lr:.4f}, aggressive {aggressive})")
     rng = np.random.RandomState(cfg.seed)
+    for _ in range(start_epoch):  # keep the shuffle stream aligned
+        rng.permutation(train_pool.num_batches)
     save_path = cfg.save_path or f"models/{cfg.dataset}/model.ckpt"
     history = []
     log.info(f"[train] {cfg.epochs} epochs, {train_pool.num_batches} "
              f"batches/epoch, aggressive={aggressive}")
 
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
         order = jnp.asarray(rng.permutation(train_pool.num_batches).astype(np.int32))
         k_epoch = jax.random.fold_in(master_key, epoch)
@@ -130,6 +152,8 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
             save_checkpoint(save_path, best_params, {
                 "epoch": epoch, "kl_weight": kl_weight, "lr": lr,
                 "aggressive": aggressive, "pre_mi": pre_mi,
+                "best_loss": best_loss, "decay_cnt": decay_cnt,
+                "not_improved": not_improved,
                 "val": {k: float(v) for k, v in val.items()},
                 "dataset": cfg.dataset,
             })
@@ -199,12 +223,14 @@ def train_text(cfg: ExperimentConfig, logger: Optional[Logger] = None) -> Dict:
 
     vae = build_text_vae(cfg, len(train_data.vocab))
     params = vae.init(jax.random.PRNGKey(cfg.seed))
+    extra = {}
     if cfg.load_path:
         params, extra = load_checkpoint(cfg.load_path)
         log.info(f"[ckpt] loaded {cfg.load_path} (extra keys: {list(extra)})")
     if cfg.eval:
         return run_final_eval(cfg, vae, params, test_pool, log)
-    return run_training(cfg, vae, params, train_pool, val_pool, test_pool, log)
+    return run_training(cfg, vae, params, train_pool, val_pool, test_pool, log,
+                        resume_state=extra if cfg.resume else None)
 
 
 def train_image(cfg: ExperimentConfig, logger: Optional[Logger] = None) -> Dict:
@@ -220,6 +246,7 @@ def train_image(cfg: ExperimentConfig, logger: Optional[Logger] = None) -> Dict:
     params = vae.init(jax.random.PRNGKey(cfg.seed))
     loss_fn = make_image_loss_fn(vae, nsamples=cfg.nsamples, train=True)
     eval_loss_fn = make_image_loss_fn(vae, nsamples=1, train=False)
+    extra = {}
     if cfg.load_path:
         params, extra = load_checkpoint(cfg.load_path)
         log.info(f"[ckpt] loaded {cfg.load_path} (extra keys: {list(extra)})")
@@ -228,7 +255,8 @@ def train_image(cfg: ExperimentConfig, logger: Optional[Logger] = None) -> Dict:
                               eval_loss_fn=eval_loss_fn, prep=binarize_prep)
     return run_training(cfg, vae, params, train_pool, val_pool, test_pool, log,
                         loss_fn=loss_fn, eval_loss_fn=eval_loss_fn,
-                        prep=binarize_prep)
+                        prep=binarize_prep,
+                        resume_state=extra if cfg.resume else None)
 
 
 def evaluate_text(cfg, vae, params, pool, log):  # back-compat alias
