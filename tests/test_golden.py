@@ -1,0 +1,74 @@
+"""Golden-value regression pins (SURVEY.md §4 test-strategy note).
+
+One training step and the estimator suite on a fixed-seed tiny model must
+keep producing these exact values (float32, CPU). If a refactor changes
+numerics, the change must be intentional and these constants updated in the
+same commit with a justification.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vae_lagging_encoder_tpu.config import get_config
+from vae_lagging_encoder_tpu.data import BucketedPool, MonoTextData
+from vae_lagging_encoder_tpu.data.synthetic import generate_synthetic_corpus
+from vae_lagging_encoder_tpu.models import build_text_vae
+from vae_lagging_encoder_tpu.train import make_loss_fn, make_train_epoch
+
+# Recorded 2026-08-16 on jax 0.9.0 CPU f32 (commit: round-1).
+GOLDEN = {
+    "loss0": 18.671021,
+    "kl0": 0.0,
+    "loss_after_epoch": 29.211,
+    "kl_weight_after": 1.0,
+}
+
+
+def setup():
+    cfg = get_config("synthetic", ni=12, enc_nh=16, nz=3, dec_nh=16,
+                     batch_size=8, dec_dropout_in=0.0, dec_dropout_out=0.0,
+                     warm_up=1, length_buckets=(8, 16))
+    sents, _ = generate_synthetic_corpus(num_sentences=64, vocab_size=20,
+                                         min_len=4, max_len=12, seed=42)
+    data = MonoTextData(sentences=sents)
+    pool = BucketedPool(data.create_data_batch(8, cfg.length_buckets))
+    vae = build_text_vae(cfg, len(data.vocab))
+    params = vae.init(jax.random.PRNGKey(123))
+    return cfg, pool, vae, params
+
+
+def test_golden_step_and_epoch():
+    cfg, pool, vae, params = setup()
+    loss_fn = make_loss_fn(vae, train=False)
+    batch = tuple(a[0] for a in pool.arrays[0])
+    mean_loss, (ls, rs, ks, n, w) = loss_fn(params, jax.random.PRNGKey(7),
+                                            batch, 1.0)
+    np.testing.assert_allclose(float(mean_loss), GOLDEN["loss0"], rtol=2e-5)
+    np.testing.assert_allclose(float(ks) / float(n), GOLDEN["kl0"], atol=2e-5)
+
+    epoch_fn, opt_init = make_train_epoch(vae, pool, cfg)
+    order = jnp.arange(pool.num_batches, dtype=jnp.int32)
+    p, _, klw, sums, _ = epoch_fn(params, opt_init(params),
+                                  jax.random.PRNGKey(9), jnp.float32(0.1),
+                                  jnp.float32(1.0), order, aggressive=False)
+    np.testing.assert_allclose(float(sums[0]) / float(sums[3]),
+                               GOLDEN["loss_after_epoch"], rtol=2e-5)
+    np.testing.assert_allclose(float(klw), GOLDEN["kl_weight_after"], rtol=1e-6)
+
+
+if __name__ == "__main__":
+    # regenerate the constants
+    cfg, pool, vae, params = setup()
+    loss_fn = make_loss_fn(vae, train=False)
+    batch = tuple(a[0] for a in pool.arrays[0])
+    mean_loss, (ls, rs, ks, n, w) = loss_fn(params, jax.random.PRNGKey(7),
+                                            batch, 1.0)
+    epoch_fn, opt_init = make_train_epoch(vae, pool, cfg)
+    order = jnp.arange(pool.num_batches, dtype=jnp.int32)
+    p, _, klw, sums, _ = epoch_fn(params, opt_init(params),
+                                  jax.random.PRNGKey(9), jnp.float32(0.1),
+                                  jnp.float32(1.0), order, aggressive=False)
+    print({"loss0": round(float(mean_loss), 6),
+           "kl0": round(float(ks) / float(n), 6),
+           "loss_after_epoch": round(float(sums[0]) / float(sums[3]), 6),
+           "kl_weight_after": float(klw)})

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vae_lagging_encoder_tpu.config import get_config
 from vae_lagging_encoder_tpu.data import MonoTextData
@@ -63,6 +64,7 @@ def test_dp_step_matches_single_device():
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_dp_fused_epoch_matches_single_device():
     """The whole fused epoch under shard_map (psum'd inner+outer grads)
     must reproduce the single-device epoch exactly (same keys, same order,

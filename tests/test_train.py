@@ -151,6 +151,7 @@ def test_checkpoint_roundtrip(tmp_path, setup):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_resume_continues_training(tmp_path):
     """--resume restores kl_weight/lr/epoch/flags and continues."""
     from vae_lagging_encoder_tpu.train import train_text
@@ -179,6 +180,7 @@ def test_resume_continues_training(tmp_path):
     assert np.isfinite(r2["iw_nll"])
 
 
+@pytest.mark.slow
 def test_train_text_end_to_end(tmp_path):
     """Full lifecycle smoke: plain + aggressive, 2 epochs, tiny data."""
     from vae_lagging_encoder_tpu.train import train_text

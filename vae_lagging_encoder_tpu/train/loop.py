@@ -67,6 +67,8 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
     opt_state = opt_init(params)
     val_eval = make_eval_fn(vae, val_pool, loss_fn=eval_loss_fn)
     val_mi = make_mi_fn(vae, val_pool, prep=prep)
+    # <ref>text.py evaluates on the TEST set every test_nepoch epochs too
+    test_eval = make_eval_fn(vae, test_pool, loss_fn=eval_loss_fn)
     master_key = jax.random.PRNGKey(cfg.seed)
 
     kl_weight = float(cfg.kl_start)
@@ -144,6 +146,13 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
                    inner_iters=int(inner_iters), aggressive=aggressive,
                    epoch_seconds=dt)
         history.append({"epoch": epoch, **{f"val_{k}": v for k, v in val.items()}})
+
+        if cfg.test_nepoch and (epoch + 1) % cfg.test_nepoch == 0:
+            te = test_eval(params, jax.random.fold_in(master_key, 30_000 + epoch))
+            log.info(f"epoch {epoch}: TEST loss {te['loss']:.4f} "
+                     f"rec {te['rec']:.4f} kl {te['kl']:.4f} ppl {te['ppl']:.2f}")
+            log.metric(epoch=epoch, split="test_cadence", **{
+                k: float(v) for k, v in te.items()})
 
         if val["loss"] < best_loss:
             best_loss = val["loss"]
