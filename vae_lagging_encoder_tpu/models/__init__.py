@@ -1,5 +1,6 @@
 from .encoder import (GaussianEncoderBase, calc_mi, eval_inference_dist,
                       gaussian_kl, reparameterize)
+from .decoder import DecoderBase
 from .enc_lstm import GaussianLSTMEncoder
 from .enc_resnet import ResNetEncoderV2
 from .dec_lstm import LSTMDecoder
@@ -38,7 +39,7 @@ def build_image_vae(cfg) -> VAE:
 
 
 __all__ = [
-    "GaussianEncoderBase", "GaussianLSTMEncoder", "ResNetEncoderV2",
+    "DecoderBase", "GaussianEncoderBase", "GaussianLSTMEncoder", "ResNetEncoderV2",
     "LSTMDecoder", "PixelCNNDecoderV2", "VAE",
     "build_text_vae", "build_image_vae", "calc_mi", "eval_inference_dist",
     "gaussian_kl", "reparameterize",

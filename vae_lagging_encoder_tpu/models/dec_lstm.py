@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.vocab import BOS_ID, EOS_ID, PAD_ID
+from .decoder import DecoderBase
 from .lstm_core import init_lstm_params, lstm_cell, lstm_run, uniform
 
 
@@ -41,7 +42,7 @@ def _dropout(key, x, rate: float, train: bool):
     return jnp.where(mask, x / keep, 0.0)
 
 
-class LSTMDecoder:
+class LSTMDecoder(DecoderBase):
     def __init__(self, vocab_size: int, ni: int, nh: int, nz: int,
                  dropout_in: float = 0.5, dropout_out: float = 0.5,
                  compute_dtype=jnp.float32, iw_chunk: int = 10,

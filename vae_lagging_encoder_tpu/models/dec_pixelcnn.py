@@ -21,10 +21,11 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.conv import masked_conv2d
+from .decoder import DecoderBase
 from .lstm_core import uniform
 
 
-class PixelCNNDecoderV2:
+class PixelCNNDecoderV2(DecoderBase):
     def __init__(self, nz: int, img_size: Tuple[int, int, int] = (28, 28, 1),
                  n_layers: int = 8, filters: int = 64, first_kernel: int = 7,
                  kernel: int = 3, compute_dtype=jnp.float32, iw_chunk: int = 25):
