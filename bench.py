@@ -45,12 +45,13 @@ def main() -> None:
     # Yahoo-like synthetic corpus: ~80-token average sentences, 20k vocab.
     rng = np.random.RandomState(0)
     words = [f"w{i}" for i in range(VOCAB - 4)]
-    freq = rng.zipf(1.3, size=10 * NUM_SENTS) % (VOCAB - 4)
+    lens = np.clip(rng.normal(80, 25, NUM_SENTS), 20, 160).astype(int)
+    freq = rng.zipf(1.3, size=int(lens.sum())) % (VOCAB - 4)
     sents, pos = [], 0
-    for _ in range(NUM_SENTS):
-        ln = int(np.clip(rng.normal(80, 25), 20, 160))
+    for ln in lens:
         sents.append([words[i] for i in freq[pos:pos + ln]])
-        pos += ln
+        pos += int(ln)
+    assert min(len(s) for s in sents) >= 20  # no degenerate sentences
     cfg = get_config("yahoo")
     data = MonoTextData(sentences=sents)
     pool = BucketedPool(data.create_data_batch(BATCH, cfg.length_buckets))

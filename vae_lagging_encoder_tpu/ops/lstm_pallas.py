@@ -53,6 +53,13 @@ def _gates(xw_t, h, wh):
             jax.nn.sigmoid(o))
 
 
+# Timesteps processed per grid iteration: amortizes the per-iteration
+# pipeline/bookkeeping overhead of tiny recurrent matmuls ([B, H]@[H, 4H]
+# at B=32 is latency-bound, ~16 us/step measured unrolled=1). The wrapper
+# pads T up to a multiple of this.
+UNROLL = 8
+
+
 # ---------------------------------------------------------------- forward
 def _fwd_kernel(xw_ref, mask_ref, wh_ref, h0_ref, c0_ref,
                 hs_ref, cs_ref, hT_ref, cT_ref, h_scr, c_scr):
@@ -64,23 +71,25 @@ def _fwd_kernel(xw_ref, mask_ref, wh_ref, h0_ref, c0_ref,
         h_scr[:] = h0_ref[:]
         c_scr[:] = c0_ref[:]
 
-    h_prev = h_scr[:]
-    c_prev = c_scr[:]
     wh = wh_ref[:]
-    H = h_prev.shape[-1]
-    i, f, g, o = _gates(xw_ref[0], h_prev.astype(wh.dtype), wh)
-    c_raw = f * c_prev + i * g
-    h_raw = o * jnp.tanh(c_raw)
-    # mask streams as (1, B, 128) blocks; lane-repeat up to (B, H)
-    m = mask_ref[0]
-    if H > 128:
-        m = pltpu.repeat(m, H // 128, axis=1)
-    h_keep = m * h_raw + (1.0 - m) * h_prev
-    c_keep = m * c_raw + (1.0 - m) * c_prev
+    h_keep = h_scr[:]
+    c_keep = c_scr[:]
+    H = h_keep.shape[-1]
+    for u in range(UNROLL):
+        h_prev, c_prev = h_keep, c_keep
+        i, f, g, o = _gates(xw_ref[u], h_prev.astype(wh.dtype), wh)
+        c_raw = f * c_prev + i * g
+        h_raw = o * jnp.tanh(c_raw)
+        # mask streams as (UNROLL, B, 128) blocks; lane-repeat up to (B, H)
+        m = mask_ref[u]
+        if H > 128:
+            m = pltpu.repeat(m, H // 128, axis=1)
+        h_keep = m * h_raw + (1.0 - m) * h_prev
+        c_keep = m * c_raw + (1.0 - m) * c_prev
+        hs_ref[u] = h_keep
+        cs_ref[u] = c_keep
     h_scr[:] = h_keep
     c_scr[:] = c_keep
-    hs_ref[0] = h_keep
-    cs_ref[0] = c_keep
 
     @pl.when(t == T - 1)
     def _():
@@ -93,37 +102,49 @@ def _mask128(mask):
     return jnp.broadcast_to(mask[:, :, None], (T, B, 128))
 
 
+def _pad_T(x, T_pad):
+    T = x.shape[0]
+    if T == T_pad:
+        return x
+    pad = [(0, T_pad - T)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad)
+
+
 def _fwd_call(xw, mask, wh, h0, c0):
     T, B, H4 = xw.shape
     H = H4 // 4
-    mask = _mask128(mask)
+    T_pad = -(-T // UNROLL) * UNROLL
+    # padding steps carry mask 0 -> state held; padded hs/cs rows unused
+    xw = _pad_T(xw, T_pad)
+    mask = _pad_T(_mask128(mask), T_pad)
     f32 = jnp.float32
-    return pl.pallas_call(
+    U = UNROLL
+    hs, cs, hT, cT = pl.pallas_call(
         _fwd_kernel,
-        grid=(T,),
+        grid=(T_pad // U,),
         in_specs=[
-            pl.BlockSpec((1, B, H4), lambda t: (t, 0, 0),
+            pl.BlockSpec((U, B, H4), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             # mask pre-broadcast to lane width on the host side ([T, B, 128])
-            # and streamed per step — (1, B) blocks violate the (8, 128)
+            # and streamed per block — (1, B) blocks violate the (8, 128)
             # tiling rule and dynamic sublane indexing faults the worker
-            pl.BlockSpec((1, B, 128), lambda t: (t, 0, 0),
+            pl.BlockSpec((U, B, 128), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H4), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+            pl.BlockSpec((U, B, H), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+            pl.BlockSpec((U, B, H), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, H), f32),
-            jax.ShapeDtypeStruct((T, B, H), f32),
+            jax.ShapeDtypeStruct((T_pad, B, H), f32),
+            jax.ShapeDtypeStruct((T_pad, B, H), f32),
             jax.ShapeDtypeStruct((B, H), f32),
             jax.ShapeDtypeStruct((B, H), f32),
         ],
@@ -131,14 +152,15 @@ def _fwd_call(xw, mask, wh, h0, c0):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES),
     )(xw, mask, wh, h0, c0)
+    return hs[:T], cs[:T], hT, cT
 
 
 # ---------------------------------------------------------------- backward
 def _bwd_kernel(xw_ref, mask_ref, wh_ref, hprev_ref, cprev_ref,
                 dhs_ref, dhT_ref, dcT_ref,
                 da_ref, dh0_ref, dc0_ref, dh_scr, dc_scr):
-    t = pl.program_id(0)          # 0..T-1, walking REVERSED time
-    T = pl.num_programs(0)
+    t = pl.program_id(0)          # 0..G-1, walking REVERSED time blocks
+    G = pl.num_programs(0)
 
     @pl.when(t == 0)
     def _():
@@ -146,74 +168,87 @@ def _bwd_kernel(xw_ref, mask_ref, wh_ref, hprev_ref, cprev_ref,
         dc_scr[:] = dcT_ref[:]
 
     wh = wh_ref[:]
-    h_prev = hprev_ref[0]
-    c_prev = cprev_ref[0]
-    i, f, g, o = _gates(xw_ref[0], h_prev.astype(wh.dtype), wh)
-    c_raw = f * c_prev + i * g
-    tanh_c = jnp.tanh(c_raw)
+    H = dh_scr.shape[-1]
+    dh_c = dh_scr[:]
+    dc_c = dc_scr[:]
+    for u in reversed(range(UNROLL)):
+        h_prev = hprev_ref[u]
+        c_prev = cprev_ref[u]
+        i, f, g, o = _gates(xw_ref[u], h_prev.astype(wh.dtype), wh)
+        c_raw = f * c_prev + i * g
+        tanh_c = jnp.tanh(c_raw)
 
-    dhk = dh_scr[:] + dhs_ref[0]
-    dck = dc_scr[:]
-    H = h_prev.shape[-1]
-    m = mask_ref[0]  # (B, 128) block at reversed time; lane-repeat to (B, H)
-    if H > 128:
-        m = pltpu.repeat(m, H // 128, axis=1)
-    dh_raw = m * dhk
-    dc_raw = m * dck
+        dhk = dh_c + dhs_ref[u]
+        dck = dc_c
+        m = mask_ref[u]
+        if H > 128:
+            m = pltpu.repeat(m, H // 128, axis=1)
+        dh_raw = m * dhk
+        dc_raw = m * dck
 
-    do = dh_raw * tanh_c
-    dc_tot = dc_raw + dh_raw * o * (1.0 - tanh_c * tanh_c)
-    di = dc_tot * g
-    df = dc_tot * c_prev
-    dg = dc_tot * i
-    da = jnp.concatenate([
-        di * i * (1.0 - i),
-        df * f * (1.0 - f),
-        dg * (1.0 - g * g),
-        do * o * (1.0 - o),
-    ], axis=-1)
-    da_ref[0] = da
+        do = dh_raw * tanh_c
+        dc_tot = dc_raw + dh_raw * o * (1.0 - tanh_c * tanh_c)
+        di = dc_tot * g
+        df = dc_tot * c_prev
+        dg = dc_tot * i
+        da = jnp.concatenate([
+            di * i * (1.0 - i),
+            df * f * (1.0 - f),
+            dg * (1.0 - g * g),
+            do * o * (1.0 - o),
+        ], axis=-1)
+        da_ref[u] = da
 
-    # grads flowing to the previous step's kept state
-    dh_gates = jax.lax.dot_general(
-        da.astype(wh.dtype), wh, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dh_scr[:] = dh_gates + (1.0 - m) * dhk
-    dc_scr[:] = dc_tot * f + (1.0 - m) * dck
+        # grads flowing to the previous step's kept state
+        dh_gates = jax.lax.dot_general(
+            da.astype(wh.dtype), wh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dh_c = dh_gates + (1.0 - m) * dhk
+        dc_c = dc_tot * f + (1.0 - m) * dck
+    dh_scr[:] = dh_c
+    dc_scr[:] = dc_c
 
-    @pl.when(t == T - 1)
+    @pl.when(t == G - 1)
     def _():
-        dh0_ref[:] = dh_scr[:]
-        dc0_ref[:] = dc_scr[:]
+        dh0_ref[:] = dh_c
+        dc0_ref[:] = dc_c
 
 
 def _bwd_call(xw, mask, wh, h_prev_seq, c_prev_seq, dhs, dhT, dcT):
     T, B, H4 = xw.shape
     H = H4 // 4
-    mask = _mask128(mask)
+    T_pad = -(-T // UNROLL) * UNROLL
+    xw = _pad_T(xw, T_pad)
+    mask = _pad_T(_mask128(mask), T_pad)
+    h_prev_seq = _pad_T(h_prev_seq, T_pad)
+    c_prev_seq = _pad_T(c_prev_seq, T_pad)
+    dhs = _pad_T(dhs, T_pad)
     f32 = jnp.float32
-    rev = lambda t: (T - 1 - t, 0, 0)
+    U = UNROLL
+    G = T_pad // U
+    rev = lambda t: (G - 1 - t, 0, 0)
     const = lambda t: (0, 0)
-    return pl.pallas_call(
+    da, dh0, dc0 = pl.pallas_call(
         _bwd_kernel,
-        grid=(T,),
+        grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, B, H4), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, 128), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, B, H4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, B, 128), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H4), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, B, H), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), const, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, H4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, B, H4), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), const, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, H4), f32),
+            jax.ShapeDtypeStruct((T_pad, B, H4), f32),
             jax.ShapeDtypeStruct((B, H), f32),
             jax.ShapeDtypeStruct((B, H), f32),
         ],
@@ -221,6 +256,7 @@ def _bwd_call(xw, mask, wh, h_prev_seq, c_prev_seq, dhs, dhT, dcT):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES),
     )(xw, mask, wh, h_prev_seq, c_prev_seq, dhs, dhT, dcT)
+    return da[:T], dh0, dc0
 
 
 # ---------------------------------------------------------------- public op
