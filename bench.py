@@ -34,6 +34,24 @@ BATCH = 32
 
 
 def main() -> None:
+    # The tunneled TPU worker occasionally crashes/restarts mid-run; retry
+    # once, then fall back to the scan LSTM path so the driver always gets
+    # its JSON line.
+    for attempt, use_pallas in ((0, True), (1, True), (2, False)):
+        try:
+            _run(use_pallas)
+            return
+        except Exception as e:  # noqa: BLE001
+            import sys
+            import time as _t
+
+            print(f"bench attempt {attempt} (pallas={use_pallas}) failed: "
+                  f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+            _t.sleep(60)
+    raise SystemExit("bench failed on all attempts")
+
+
+def _run(use_pallas: bool) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -52,7 +70,7 @@ def main() -> None:
         sents.append([words[i] for i in freq[pos:pos + ln]])
         pos += int(ln)
     assert min(len(s) for s in sents) >= 20  # no degenerate sentences
-    cfg = get_config("yahoo")
+    cfg = get_config("yahoo", use_pallas=use_pallas)
     data = MonoTextData(sentences=sents)
     pool = BucketedPool(data.create_data_batch(BATCH, cfg.length_buckets))
 

@@ -50,6 +50,8 @@ def build_parser(default_dataset: str = "yahoo") -> argparse.ArgumentParser:
     p.add_argument("--dp_devices", type=int, default=None)
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of one epoch here")
+    p.add_argument("--epoch_segment", type=int, default=None,
+                   help="max batches per device dispatch (0 = whole epoch)")
     p.add_argument("--train_data", type=str, default=None)
     p.add_argument("--val_data", type=str, default=None)
     p.add_argument("--test_data", type=str, default=None)

@@ -87,6 +87,11 @@ class ExperimentConfig:
     # --- TPU-first additions ---------------------------------------------
     compute_dtype: str = "float32"   # "float32" | "bfloat16" (matmul inputs)
     use_pallas: bool = False         # fused Pallas LSTM recurrent kernel
+    # max batches per device dispatch inside an epoch (0 = whole epoch in
+    # one dispatch). Bounds single-execution runtime — the tunneled TPU
+    # worker watchdog kills multi-minute unattended executions — and gives
+    # reference-style intra-epoch progress.
+    epoch_segment: int = 32
     dp_devices: int = 1              # data-parallel shards over the mesh
     jit_aggressive: bool = True      # inner loop as on-device lax.while_loop
     device_pool: bool = True         # stage the train set on device for the inner loop

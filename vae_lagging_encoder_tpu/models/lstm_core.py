@@ -90,7 +90,12 @@ def lstm_run(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
     if c0 is None:
         c0 = jnp.zeros((B, H), jnp.float32)
 
-    if backend == "pallas" and H % 128 == 0 and B % 8 == 0:
+    # The fused kernel wins when the recurrent matmul is tiny/latency-bound
+    # (training batch sizes). At IW-eval widths (rows = B*iw_chunk, e.g. 320)
+    # its UNROLL-blocked VMEM working set (xw in + gates residual out,
+    # ~U*B*4H*4 bytes each, double-buffered) exceeds budget AND the scan
+    # path is already MXU-efficient there — so route wide batches to scan.
+    if (backend == "pallas" and H % 128 == 0 and B % 8 == 0 and B <= 128):
         from ..ops.lstm_pallas import lstm_seq_fused
 
         m = (mask.T if mask is not None

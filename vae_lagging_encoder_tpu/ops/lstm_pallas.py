@@ -18,9 +18,11 @@ The backward pass is a reverse-sweep Pallas kernel producing the gate-
 preactivation grads ``da`` [T, B, 4H]; ``dxw = da`` falls out additively and
 ``dwh = h_prevᵀ @ da`` is one big XLA matmul outside the kernel (MXU-sized,
 [T·B, H]ᵀ @ [T·B, 4H]) — this keeps the 16 MB f32 ``dwh`` accumulator out
-of VMEM. Residuals are the (masked-carry) state sequences hs/cs; gate
-activations are recomputed in the reverse sweep (one extra matmul per step,
-cheaper than streaming 4H·B per step back from HBM).
+of VMEM. Residuals are the (masked-carry) state sequences hs/cs plus the
+gate ACTIVATIONS [T, B, 4H] saved by the forward sweep: streaming them back
+(~125 us of DMA at T=96) is cheaper than the serial per-step recompute
+matmul they replace (~0.5 ms), which matters because the reverse sweep's
+critical path is matmul latency, not bandwidth.
 
 Weights are fed to both kernels in ``param_dtype`` (bf16 by default so
 H=1024 fits VMEM twice over; f32 accumulation via
@@ -62,7 +64,7 @@ UNROLL = 8
 
 # ---------------------------------------------------------------- forward
 def _fwd_kernel(xw_ref, mask_ref, wh_ref, h0_ref, c0_ref,
-                hs_ref, cs_ref, hT_ref, cT_ref, h_scr, c_scr):
+                hs_ref, cs_ref, gates_ref, hT_ref, cT_ref, h_scr, c_scr):
     t = pl.program_id(0)
     T = pl.num_programs(0)
 
@@ -88,6 +90,7 @@ def _fwd_kernel(xw_ref, mask_ref, wh_ref, h0_ref, c0_ref,
         c_keep = m * c_raw + (1.0 - m) * c_prev
         hs_ref[u] = h_keep
         cs_ref[u] = c_keep
+        gates_ref[u] = jnp.concatenate([i, f, g, o], axis=-1)
     h_scr[:] = h_keep
     c_scr[:] = c_keep
 
@@ -119,7 +122,7 @@ def _fwd_call(xw, mask, wh, h0, c0):
     mask = _pad_T(_mask128(mask), T_pad)
     f32 = jnp.float32
     U = UNROLL
-    hs, cs, hT, cT = pl.pallas_call(
+    hs, cs, gates, hT, cT = pl.pallas_call(
         _fwd_kernel,
         grid=(T_pad // U,),
         in_specs=[
@@ -139,12 +142,15 @@ def _fwd_call(xw, mask, wh, h0, c0):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((U, B, H), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, B, H4), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T_pad, B, H), f32),
             jax.ShapeDtypeStruct((T_pad, B, H), f32),
+            jax.ShapeDtypeStruct((T_pad, B, H4), f32),
             jax.ShapeDtypeStruct((B, H), f32),
             jax.ShapeDtypeStruct((B, H), f32),
         ],
@@ -152,11 +158,11 @@ def _fwd_call(xw, mask, wh, h0, c0):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES),
     )(xw, mask, wh, h0, c0)
-    return hs[:T], cs[:T], hT, cT
+    return hs[:T], cs[:T], gates[:T], hT, cT
 
 
 # ---------------------------------------------------------------- backward
-def _bwd_kernel(xw_ref, mask_ref, wh_ref, hprev_ref, cprev_ref,
+def _bwd_kernel(gates_ref, mask_ref, wh_ref, cprev_ref,
                 dhs_ref, dhT_ref, dcT_ref,
                 da_ref, dh0_ref, dc0_ref, dh_scr, dc_scr):
     t = pl.program_id(0)          # 0..G-1, walking REVERSED time blocks
@@ -172,9 +178,9 @@ def _bwd_kernel(xw_ref, mask_ref, wh_ref, hprev_ref, cprev_ref,
     dh_c = dh_scr[:]
     dc_c = dc_scr[:]
     for u in reversed(range(UNROLL)):
-        h_prev = hprev_ref[u]
         c_prev = cprev_ref[u]
-        i, f, g, o = _gates(xw_ref[u], h_prev.astype(wh.dtype), wh)
+        acts = gates_ref[u]
+        i, f, g, o = jnp.split(acts, 4, axis=-1)
         c_raw = f * c_prev + i * g
         tanh_c = jnp.tanh(c_raw)
 
@@ -215,13 +221,12 @@ def _bwd_kernel(xw_ref, mask_ref, wh_ref, hprev_ref, cprev_ref,
         dc0_ref[:] = dc_c
 
 
-def _bwd_call(xw, mask, wh, h_prev_seq, c_prev_seq, dhs, dhT, dcT):
-    T, B, H4 = xw.shape
+def _bwd_call(gates, mask, wh, c_prev_seq, dhs, dhT, dcT):
+    T, B, H4 = gates.shape
     H = H4 // 4
     T_pad = -(-T // UNROLL) * UNROLL
-    xw = _pad_T(xw, T_pad)
+    gates = _pad_T(gates, T_pad)
     mask = _pad_T(_mask128(mask), T_pad)
-    h_prev_seq = _pad_T(h_prev_seq, T_pad)
     c_prev_seq = _pad_T(c_prev_seq, T_pad)
     dhs = _pad_T(dhs, T_pad)
     f32 = jnp.float32
@@ -236,7 +241,6 @@ def _bwd_call(xw, mask, wh, h_prev_seq, c_prev_seq, dhs, dhT, dcT):
             pl.BlockSpec((U, B, H4), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((U, B, 128), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H4), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((U, B, H), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((U, B, H), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((U, B, H), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), const, memory_space=pltpu.VMEM),
@@ -255,7 +259,7 @@ def _bwd_call(xw, mask, wh, h_prev_seq, c_prev_seq, dhs, dhT, dcT):
         scratch_shapes=[pltpu.VMEM((B, H), f32), pltpu.VMEM((B, H), f32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES),
-    )(xw, mask, wh, h_prev_seq, c_prev_seq, dhs, dhT, dcT)
+    )(gates, mask, wh, c_prev_seq, dhs, dhT, dcT)
     return da[:T], dh0, dc0
 
 
@@ -271,24 +275,23 @@ def lstm_seq_fused(xw: jnp.ndarray, mask: jnp.ndarray, wh: jnp.ndarray,
     h0, c0 [B, H].
     Returns (hs [T, B, H], hT [B, H], cT [B, H]) — hs are the kept states.
     """
-    hs, _, hT, cT = _fwd_call(xw, mask, wh, h0, c0)
+    hs, _, _, hT, cT = _fwd_call(xw, mask, wh, h0, c0)
     return hs, hT, cT
 
 
 def _fused_fwd(xw, mask, wh, h0, c0):
-    hs, cs, hT, cT = _fwd_call(xw, mask, wh, h0, c0)
-    return (hs, hT, cT), (xw, mask, wh, h0, c0, hs, cs)
+    hs, cs, gates, hT, cT = _fwd_call(xw, mask, wh, h0, c0)
+    return (hs, hT, cT), (mask, wh, h0, c0, hs, cs, gates)
 
 
 def _fused_bwd(res, cts):
-    xw, mask, wh, h0, c0, hs, cs = res
+    mask, wh, h0, c0, hs, cs, gates = res
     dhs, dhT, dcT = cts
-    T = xw.shape[0]
     h_prev_seq = jnp.concatenate([h0[None], hs[:-1]], axis=0)
     c_prev_seq = jnp.concatenate([c0[None], cs[:-1]], axis=0)
     zero = jnp.zeros_like(h0)
     da, dh0, dc0 = _bwd_call(
-        xw, mask, wh, h_prev_seq, c_prev_seq,
+        gates, mask, wh, c_prev_seq,
         jnp.zeros_like(hs) if dhs is None else dhs,
         zero if dhT is None else dhT,
         zero if dcT is None else dcT)

@@ -180,8 +180,12 @@ def make_train_epoch(vae: VAE, pool: BucketedPool, cfg,
             return params, opt_state, key, kl_weight, sums, inner_iters
 
         zeros = tuple(jnp.float32(0.0) for _ in range(5))
+        # bound = the order array's length, so the host can run an epoch in
+        # SEGMENTS (bounded single-dispatch runtime: the tunneled worker
+        # kills executions that run unattended for many minutes, and it
+        # restores reference-style intra-epoch logging)
         params, opt_state, _, kl_weight, sums, inner_iters = jax.lax.fori_loop(
-            0, pool.num_batches, body,
+            0, order.shape[0], body,
             (params, opt_state, key, kl_weight, zeros, jnp.int32(0)))
         return params, opt_state, kl_weight, sums, inner_iters
 

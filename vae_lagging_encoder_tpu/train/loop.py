@@ -103,24 +103,37 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
     log.info(f"[train] {cfg.epochs} epochs, {train_pool.num_batches} "
              f"batches/epoch, aggressive={aggressive}")
 
+    # Epoch segmentation: fixed-size order chunks, each one device dispatch
+    # (bounded runtime; one extra compile for the remainder size).
+    seg = cfg.epoch_segment or train_pool.num_batches
+    seg = min(seg, train_pool.num_batches)
+
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
-        order = jnp.asarray(rng.permutation(train_pool.num_batches).astype(np.int32))
+        order = rng.permutation(train_pool.num_batches).astype(np.int32)
         k_epoch = jax.random.fold_in(master_key, epoch)
         # SURVEY.md §5 tracing row: optional jax.profiler capture of the
         # first post-compile epoch (epoch 1; epoch 0 is compile-dominated).
         profiling = cfg.profile_dir and epoch == 1
         if profiling:
             jax.profiler.start_trace(cfg.profile_dir)
-        params, opt_state, kl_w_new, sums, inner_iters = epoch_fn(
-            params, opt_state, k_epoch, jnp.float32(kl_weight),
-            jnp.float32(lr), order, aggressive=aggressive)
+        sums = tuple(0.0 for _ in range(5))
+        inner_iters = 0
+        kl_w_new = jnp.float32(kl_weight)
+        for s, start in enumerate(range(0, len(order), seg)):
+            chunk = jnp.asarray(order[start:start + seg])
+            params, opt_state, kl_w_new, seg_sums, seg_inner = epoch_fn(
+                params, opt_state, jax.random.fold_in(k_epoch, s), kl_w_new,
+                jnp.float32(lr), chunk, aggressive=aggressive)
+            sums = tuple(a + float(b) for a, b in
+                         zip(sums, jax.device_get(seg_sums)))
+            inner_iters += int(seg_inner)
         if profiling:
-            jax.block_until_ready(sums)
+            jax.block_until_ready(kl_w_new)
             jax.profiler.stop_trace()
             log.info(f"[profile] trace for epoch 1 written to {cfg.profile_dir}")
         kl_weight = float(kl_w_new)
-        loss_s, rec_s, kl_s, n_sent, n_words = map(float, jax.device_get(sums))
+        loss_s, rec_s, kl_s, n_sent, n_words = sums
         dt = time.time() - t0
         steps = train_pool.num_batches + int(inner_iters)
         log.info(f"epoch {epoch}: loss {loss_s / n_sent:.4f} "
