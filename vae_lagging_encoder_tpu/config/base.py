@@ -16,8 +16,8 @@ small nets with nz=1 for the posterior-mean-space tracing.
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from dataclasses import dataclass
+from typing import Tuple
 
 
 @dataclass

@@ -22,7 +22,6 @@ TPU-first notes:
 """
 from __future__ import annotations
 
-import math
 from typing import Dict, List, Optional, Tuple
 
 import jax

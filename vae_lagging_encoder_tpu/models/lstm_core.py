@@ -24,7 +24,6 @@ recurrent weights, uniform 0.1 for embeddings), not its RNG stream.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax

@@ -32,7 +32,6 @@ in interpret mode (tests/test_pallas.py) and on-device.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

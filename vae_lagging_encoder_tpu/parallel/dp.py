@@ -18,7 +18,6 @@ matching the reference's clip-then-step order.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax
