@@ -151,6 +151,44 @@ def test_checkpoint_roundtrip(tmp_path, setup):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_is_not_pickle_and_rejects_code(tmp_path, setup):
+    """New format is a plain npz (no executable content); legacy pickles
+    load through a numpy-only unpickler that rejects arbitrary globals."""
+    import os
+    import pickle
+
+    cfg, data, pool, vae, params = setup
+    path = str(tmp_path / "ck.ckpt")
+    save_checkpoint(path, params, {
+        "opt_state": {"enc": {}, "dec": {"m": np.ones(3), "t": np.int32(7)}},
+        "tup": (1, 2.5), "none": None})
+    with open(path, "rb") as fh:
+        assert fh.read(2) == b"PK"  # zip/npz magic, not a pickle
+    _, extra = load_checkpoint(path)
+    assert extra["tup"] == (1, 2.5) and extra["none"] is None
+    np.testing.assert_array_equal(extra["opt_state"]["dec"]["m"], np.ones(3))
+    assert int(extra["opt_state"]["dec"]["t"]) == 7
+
+    # legacy round-1 pickles still load (numpy payloads only)
+    legacy = str(tmp_path / "legacy.ckpt")
+    with open(legacy, "wb") as fh:
+        pickle.dump({"params": {"w": np.arange(4.0)}, "extra": {"epoch": 1}},
+                    fh, protocol=4)
+    p, e = load_checkpoint(legacy)
+    np.testing.assert_array_equal(p["w"], np.arange(4.0))
+    assert e["epoch"] == 1
+
+    class Evil:
+        def __reduce__(self):
+            return (os.system, ("true",))
+
+    evil = str(tmp_path / "evil.ckpt")
+    with open(evil, "wb") as fh:
+        pickle.dump({"params": Evil()}, fh)
+    with pytest.raises(pickle.UnpicklingError):
+        load_checkpoint(evil)
+
+
 @pytest.mark.slow
 def test_resume_continues_training(tmp_path):
     """--resume restores kl_weight/lr/epoch/flags and continues."""

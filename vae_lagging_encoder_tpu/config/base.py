@@ -65,7 +65,6 @@ class ExperimentConfig:
     decay_epoch: int = 2          # epochs without val improvement before LR decay
     lr_decay: float = 0.5
     max_decay: int = 5            # stop after this many decays
-    momentum_decay: bool = False
     nsamples: int = 1             # z samples per x during training
     seed: int = 783435
 
@@ -93,8 +92,6 @@ class ExperimentConfig:
     # reference-style intra-epoch progress.
     epoch_segment: int = 32
     dp_devices: int = 1              # data-parallel shards over the mesh
-    jit_aggressive: bool = True      # inner loop as on-device lax.while_loop
-    device_pool: bool = True         # stage the train set on device for the inner loop
 
     def replace(self, **kw) -> "ExperimentConfig":
         return dataclasses.replace(self, **kw)

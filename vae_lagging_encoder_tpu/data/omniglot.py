@@ -89,7 +89,11 @@ def load_omniglot(path: str = "datasets/omniglot_data/omniglot.pt",
             "allow_synthetic=True for the offline substitute")
 
     train = data.get("train")
-    test = data.get("test", train[-500:])
+    test = data.get("test")
+    if test is None:  # carve test from the train tail, REMOVING it from
+        # train so the val fallback below cannot overlap it (ADVICE.md r1)
+        n_test = min(500, max(1, len(train) // 5))
+        train, test = train[:-n_test], train[-n_test:]
     val = data.get("val")
     if val is None:  # reference carves val out of train when absent [MED]
         n_val = max(1, len(train) // 10)

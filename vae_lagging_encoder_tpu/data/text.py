@@ -124,6 +124,10 @@ class MonoTextData:
                     if len(split) == 2:
                         labels.append(int(split[0]))
                         toks = split[1].split()
+                    else:
+                        # keep labels index-aligned with sentences (same
+                        # sentinel as csrc/textproc.cpp)
+                        labels.append(-1)
                 sentences.append(toks)
         return sentences, labels
 

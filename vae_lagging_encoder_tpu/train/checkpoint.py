@@ -6,18 +6,25 @@ decay — rollback-to-best is part of the optimization recipe, not just
 persistence (<ref>text.py §plateau decay, SURVEY.md §5 checkpoint row).
 
 We reproduce the rollback semantics exactly and go further (SURVEY.md §5
-rebuild note): checkpoints carry optimizer/scheduler state — kl_weight,
-lr, aggressive flag, MI history, decay counters, epoch, RNG key — so a
-killed run restarts from its last epoch instead of from scratch.
+rebuild note): checkpoints carry optimizer state (the enc/dec SGD/Adam
+pytrees) plus scheduler state — kl_weight, lr, aggressive flag, MI history,
+decay counters, epoch — so a killed run restarts from its last epoch
+instead of from scratch.
 
-Format: a pickle of host numpy pytrees (dependency-free, stable). The
-pytree structure is whatever the model's ``init`` produced.
+Format: a flat-array ``.npz`` archive (zip of raw numpy arrays — no
+executable content, loadable with ``allow_pickle=False``). The pytree
+structure (nested dicts/lists/tuples and non-array scalars) is stored as a
+JSON skeleton in the archive. Legacy round-1 pickle checkpoints are still
+readable through a restricted unpickler that admits only numpy array
+reconstruction — never arbitrary callables.
 """
 from __future__ import annotations
 
+import io
+import json
 import os
 import pickle
-from typing import Any, Dict
+from typing import Any, Dict, Tuple
 
 import jax
 import numpy as np
@@ -27,16 +34,72 @@ def to_host(tree):
     return jax.tree.map(np.asarray, jax.device_get(tree))
 
 
+# ---------------------------------------------------------------------------
+# pytree <-> (JSON skeleton, {name: ndarray})
+
+def _encode(node, arrays: Dict[str, np.ndarray]):
+    if isinstance(node, dict):
+        return {"t": "d", "v": {str(k): _encode(v, arrays)
+                                for k, v in node.items()}}
+    if isinstance(node, (list, tuple)):
+        return {"t": "l" if isinstance(node, list) else "u",
+                "v": [_encode(v, arrays) for v in node]}
+    if hasattr(node, "shape") and hasattr(node, "dtype"):
+        name = f"a{len(arrays)}"
+        arrays[name] = np.asarray(node)
+        return {"t": "a", "v": name}
+    if isinstance(node, (np.floating, np.integer, np.bool_)):
+        node = node.item()
+    return {"t": "v", "v": node}  # str / int / float / bool / None
+
+
+def _decode(skel, arrays):
+    t, v = skel["t"], skel["v"]
+    if t == "d":
+        return {k: _decode(s, arrays) for k, s in v.items()}
+    if t == "l":
+        return [_decode(s, arrays) for s in v]
+    if t == "u":
+        return tuple(_decode(s, arrays) for s in v)
+    if t == "a":
+        return arrays[v]
+    return v
+
+
 def save_checkpoint(path: str, params, extra: Dict[str, Any] | None = None) -> None:
-    state = {"params": to_host(params), "extra": extra or {}}
+    arrays: Dict[str, np.ndarray] = {}
+    skel = _encode({"params": params, "extra": extra or {}}, arrays)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "wb") as fh:
-        pickle.dump(state, fh, protocol=4)
+        np.savez(fh, __tree__=np.frombuffer(
+            json.dumps(skel).encode("utf-8"), dtype=np.uint8), **arrays)
     os.replace(tmp, path)  # atomic: a crash never leaves a torn checkpoint
 
 
-def load_checkpoint(path: str):
+class _NumpyOnlyUnpickler(pickle.Unpickler):
+    """Legacy-pickle reader: permits numpy array/scalar reconstruction only
+    (no arbitrary classes/callables -> no code execution on load)."""
+
+    _OK = {"_reconstruct", "ndarray", "dtype", "scalar", "_frombuffer"}
+
+    def find_class(self, module, name):
+        if (module.split(".")[0] == "numpy"
+                and (name in self._OK or module == "numpy.dtypes")):
+            return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"checkpoint requested forbidden global {module}.{name}")
+
+
+def load_checkpoint(path: str) -> Tuple[Any, Dict[str, Any]]:
     with open(path, "rb") as fh:
-        state = pickle.load(fh)
+        magic = fh.read(4)
+    if magic[:2] == b"PK":  # npz (zip) — the current format
+        with np.load(path, allow_pickle=False) as z:
+            arrays = {k: z[k] for k in z.files if k != "__tree__"}
+            skel = json.loads(z["__tree__"].tobytes().decode("utf-8"))
+        state = _decode(skel, arrays)
+    else:  # legacy round-1 pickle
+        with open(path, "rb") as fh:
+            state = _NumpyOnlyUnpickler(fh).load()
     return state["params"], state.get("extra", {})

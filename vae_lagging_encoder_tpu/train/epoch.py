@@ -147,6 +147,11 @@ def make_train_epoch(vae: VAE, pool: BucketedPool, cfg,
             flat = order[i]
             bucket, idx = flat_bucket[flat], flat_idx[flat]
 
+            # <ref>text.py anneals kl_weight at the TOP of each batch
+            # iteration, before the encoder burn loop, so the inner updates
+            # run at this step's (already-annealed) weight.
+            kl_weight = jnp.minimum(1.0, kl_weight + anneal_rate)
+
             if aggressive:
                 # <ref>text.py §3.2: encoder-only sub-updates to plateau,
                 # BEFORE this step's decoder update, at the current kl_weight.
@@ -154,8 +159,6 @@ def make_train_epoch(vae: VAE, pool: BucketedPool, cfg,
                                                  kl_weight, lr,
                                                  arrays=local_arrays)
                 inner_iters = inner_iters + n_sub
-
-            kl_weight = jnp.minimum(1.0, kl_weight + anneal_rate)
 
             def grad_on(*batch):
                 return grad_fn(params, k_loss, batch, kl_weight)

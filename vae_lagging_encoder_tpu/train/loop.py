@@ -93,6 +93,10 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
         decay_cnt = int(resume_state.get("decay_cnt", 0))
         not_improved = int(resume_state.get("not_improved", 0))
         start_epoch = int(resume_state.get("epoch", -1)) + 1
+        if "opt_state" in resume_state:
+            # restore Adam moments / SGD velocity; without this, optimizers
+            # with state silently reset on resume (ADVICE.md round 1)
+            opt_state = jax.tree.map(jnp.asarray, resume_state["opt_state"])
         log.info(f"[resume] from epoch {start_epoch} (kl_weight {kl_weight:.4f}, "
                  f"lr {lr:.4f}, aggressive {aggressive})")
     rng = np.random.RandomState(cfg.seed)
@@ -107,6 +111,15 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
     # (bounded runtime; one extra compile for the remainder size).
     seg = cfg.epoch_segment or train_pool.num_batches
     seg = min(seg, train_pool.num_batches)
+    # log_niter can't be honored mid-dispatch (the segment IS the dispatch),
+    # so cap the segment so a log boundary exists at least every log_niter
+    # steps — the fused-epoch equivalent of the reference's per-step check.
+    if cfg.log_niter:
+        seg = min(seg, cfg.log_niter)
+    global_step = start_epoch * train_pool.num_batches
+    report = tuple(0.0 for _ in range(5))
+    steps_since_log = 0
+    t_start = time.time()
 
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
@@ -125,9 +138,24 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
             params, opt_state, kl_w_new, seg_sums, seg_inner = epoch_fn(
                 params, opt_state, jax.random.fold_in(k_epoch, s), kl_w_new,
                 jnp.float32(lr), chunk, aggressive=aggressive)
-            sums = tuple(a + float(b) for a, b in
-                         zip(sums, jax.device_get(seg_sums)))
+            seg_sums = tuple(map(float, jax.device_get(seg_sums)))
+            sums = tuple(a + b for a, b in zip(sums, seg_sums))
             inner_iters += int(seg_inner)
+            # --- intra-epoch reporting every log_niter steps -------------
+            # (parity: <ref>text.py prints {loss, recon, kl, kl_weight}
+            # every log_niter iterations and resets the report sums)
+            global_step += int(chunk.shape[0])
+            steps_since_log += int(chunk.shape[0])
+            report = tuple(a + b for a, b in zip(report, seg_sums))
+            if cfg.log_niter and steps_since_log >= cfg.log_niter:
+                rl, rr, rk, rn, _ = report
+                rn = max(rn, 1.0)
+                log.info(f"epoch {epoch}, iter {global_step}: "
+                         f"avg_loss {rl / rn:.4f}, kl {rk / rn:.4f}, "
+                         f"recon {rr / rn:.4f}, kl_weight "
+                         f"{float(kl_w_new):.4f}, time {time.time() - t_start:.1f}s")
+                report = tuple(0.0 for _ in range(5))
+                steps_since_log = 0
         if profiling:
             jax.block_until_ready(kl_w_new)
             jax.profiler.stop_trace()
@@ -172,6 +200,7 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
             best_params = to_host(params)
             not_improved = 0
             save_checkpoint(save_path, best_params, {
+                "opt_state": to_host(opt_state),
                 "epoch": epoch, "kl_weight": kl_weight, "lr": lr,
                 "aggressive": aggressive, "pre_mi": pre_mi,
                 "best_loss": best_loss, "decay_cnt": decay_cnt,
