@@ -30,7 +30,8 @@ import numpy as np
 
 from ..data.vocab import BOS_ID, EOS_ID, PAD_ID
 from .decoder import DecoderBase
-from .lstm_core import init_lstm_params, lstm_cell, lstm_run, uniform
+from .lstm_core import (init_lstm_params, lstm_bias, lstm_cell, lstm_run,
+                        uniform)
 
 
 def _dropout(key, x, rate: float, train: bool):
@@ -177,7 +178,8 @@ class LSTMDecoder(DecoderBase):
         """z [N, nz] → token ids [N, max_len] (starts after <s>; pads after </s>)."""
         N = z.shape[0]
         h, c = self._init_state(params, z)
-        wx, wh, b = params["lstm"]["wx"], params["lstm"]["wh"], params["lstm"]["b"]
+        wx, wh, b = (params["lstm"]["wx"], params["lstm"]["wh"],
+                     lstm_bias(params["lstm"]))
 
         def step(carry, t):
             h, c, tok, done, k = carry
@@ -245,7 +247,7 @@ class LSTMDecoder(DecoderBase):
     def _beam_step(self, params, z, tok, h, c):
         x = jnp.concatenate([params["emb"][tok], z], axis=-1)
         xw = jnp.dot(x, params["lstm"]["wx"],
-                     preferred_element_type=jnp.float32) + params["lstm"]["b"]
+                     preferred_element_type=jnp.float32) + lstm_bias(params["lstm"])
         h, c = lstm_cell(h, c, xw, params["lstm"]["wh"], self.compute_dtype)
         logits = jnp.dot(h, params["pred"], preferred_element_type=jnp.float32)
         return jax.nn.log_softmax(logits, axis=-1), h, c

@@ -16,11 +16,15 @@ TPU design (SURVEY.md §7 step 2 + pallas_guide.md):
 - An optional Pallas path (ops/lstm_pallas.py) keeps ``Wh`` resident in VMEM
   across the whole scan instead of re-reading it from HBM every timestep.
 
-Gate order is (i, f, g, o) and the two PyTorch biases are algebraically
-merged into one (b = b_ih + b_hh); with the reference's uniform(-0.01, 0.01)
-init this is distribution-equivalent to the sum of two uniforms — we match
-the reference's *init recipe* (<ref>text.py §model init: uniform 0.01 for
-recurrent weights, uniform 0.1 for embeddings), not its RNG stream.
+Gate order is (i, f, g, o). The two PyTorch biases are kept as SEPARATE
+parameters (b_ih, b_hh) and summed once per sequence at trace time — zero
+runtime cost, but exact reference training dynamics: SGD moves both biases
+by the same gradient (an effective 2x step on the merged bias) and the
+global-norm clip counts the bias gradient twice, both of which a merged
+bias would get wrong (verified by tests/test_torch_parity.py's grad-step
+check). We match the reference's *init recipe* (<ref>text.py §model init:
+uniform 0.01 for recurrent weights, uniform 0.1 for embeddings), not its
+RNG stream.
 """
 from __future__ import annotations
 
@@ -40,10 +44,14 @@ def init_lstm_params(key, input_dim: int, hidden_dim: int,
     return {
         "wx": uniform(k1, (input_dim, 4 * hidden_dim), scale),
         "wh": uniform(k2, (hidden_dim, 4 * hidden_dim), scale),
-        # merged b_ih + b_hh: sum of two U(-s, s) draws
-        "b": uniform(k3, (4 * hidden_dim,), scale) + uniform(jax.random.fold_in(k3, 1),
-                                                             (4 * hidden_dim,), scale),
+        "b_ih": uniform(k3, (4 * hidden_dim,), scale),
+        "b_hh": uniform(jax.random.fold_in(k3, 1), (4 * hidden_dim,), scale),
     }
+
+
+def lstm_bias(params: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Effective gate bias b_ih + b_hh (accepts legacy merged-"b" pytrees)."""
+    return params["b"] if "b" in params else params["b_ih"] + params["b_hh"]
 
 
 def lstm_cell(h, c, xw_t, wh, compute_dtype=jnp.float32):
@@ -82,7 +90,7 @@ def lstm_run(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
     xw = (jnp.dot(x.reshape(B * T, -1).astype(compute_dtype),
                   params["wx"].astype(compute_dtype),
                   preferred_element_type=jnp.float32)
-          .reshape(B, T, 4 * H) + params["b"]).transpose(1, 0, 2)  # [T, B, 4H]
+          .reshape(B, T, 4 * H) + lstm_bias(params)).transpose(1, 0, 2)  # [T, B, 4H]
 
     if h0 is None:
         h0 = jnp.zeros((B, H), jnp.float32)
