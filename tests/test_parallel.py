@@ -64,14 +64,38 @@ def test_dp_step_matches_single_device():
                                rtol=1e-5)
 
 
+def _emulated_dp_loss(loss_fn, n_shards: int):
+    """Single-device oracle of the DP objective: the shard_map program
+    computes, per shard s, grads of loss_sum_s(key folded with s) / psum(n)
+    and psums them — identical to the gradient of
+    sum_s loss_sum_s(fold_in(key, s)) / n_global, with psum'd aux = summed
+    aux. Returning that sum as a loss_fn lets make_train_epoch(mesh=None)
+    replay the 8-shard epoch (inner while_loop included) exactly."""
+    def wrapped(params, key, batch, kl_weight):
+        tokens, mask, rw = batch
+        S = tokens.shape[0] // n_shards
+        n_global = jnp.maximum(rw.sum(), 1.0)
+        total, sums = 0.0, None
+        for s in range(n_shards):
+            sl = slice(s * S, (s + 1) * S)
+            k_s = jax.random.fold_in(key, s)
+            _, aux = loss_fn(params, k_s, (tokens[sl], mask[sl], rw[sl]),
+                             kl_weight)
+            total = total + aux[0] / n_global
+            sums = aux if sums is None else jax.tree.map(jnp.add, sums, aux)
+        return total, sums
+    return wrapped
+
+
 @pytest.mark.slow
 def test_dp_fused_epoch_matches_single_device():
-    """The whole fused epoch under shard_map (psum'd inner+outer grads)
-    must reproduce the single-device epoch exactly (same keys, same order,
-    dropout off)."""
+    """The whole fused epoch under shard_map (psum'd inner+outer grads,
+    aggressive while_loop included) must reproduce the single-device
+    emulated-DP oracle EXACTLY (same per-shard keys, dropout off): final
+    params, stat sums, and inner-iteration counts allclose at 1e-5."""
     import jax.numpy as jnp
     from vae_lagging_encoder_tpu.data import BucketedPool
-    from vae_lagging_encoder_tpu.train import make_train_epoch
+    from vae_lagging_encoder_tpu.train import make_loss_fn, make_train_epoch
 
     cfg = get_config("synthetic", ni=8, enc_nh=16, nz=2, dec_nh=16,
                      dec_dropout_in=0.0, dec_dropout_out=0.0, batch_size=16,
@@ -82,33 +106,69 @@ def test_dp_fused_epoch_matches_single_device():
     vae = build_text_vae(cfg, len(data.vocab))
     params = vae.init(jax.random.PRNGKey(0))
 
-    def run(mesh):
+    def run(mesh, loss_fn=None):
         pool = BucketedPool(data.create_data_batch(16, buckets=(8, 16)))
         if mesh is not None:
             pool.shard(mesh)
-        epoch_fn, opt_init = make_train_epoch(vae, pool, cfg, mesh=mesh)
+        epoch_fn, opt_init = make_train_epoch(vae, pool, cfg,
+                                              loss_fn=loss_fn, mesh=mesh)
         p = jax.tree.map(jnp.copy, params)
         order = jnp.arange(pool.num_batches, dtype=jnp.int32)
         return epoch_fn(p, opt_init(p), jax.random.PRNGKey(7),
                         jnp.float32(0.5), jnp.float32(0.3), order,
                         aggressive=True)
 
-    p1, _, klw1, sums1, ii1 = run(None)
+    oracle = _emulated_dp_loss(make_loss_fn(vae, train=True), 8)
+    p1, _, klw1, sums1, ii1 = run(None, loss_fn=oracle)
     p8, _, klw8, sums8, ii8 = run(make_mesh(8))
-    # NOTE: per-shard loss keys differ from the single-device key stream, so
-    # z-samples differ; compare only data-independent bookkeeping exactly
-    # and the training trajectory approximately.
     assert float(klw1) == float(klw8)
-    assert int(ii1) > 0 and int(ii8) > 0
-    n1 = float(sums1[3]); n8 = float(sums8[3])
-    assert n1 == n8 == 96.0
-    # losses in the same ballpark (same data, same algorithm)
-    l1 = float(sums1[0]) / n1
-    l8 = float(sums8[0]) / n8
-    assert abs(l1 - l8) / l1 < 0.15, (l1, l8)
-    # params finite everywhere
-    for leaf in jax.tree.leaves(p8):
-        assert np.isfinite(np.asarray(leaf)).all()
+    assert int(ii1) == int(ii8) and int(ii8) > 0
+    for a, b in zip(sums1, sums8):
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_sharded_eval_matches_unsharded():
+    """The batch-parallel eval suite (ELBO / MI / AU / IW-NLL) must return
+    the unsharded values to fp tolerance — same per-batch fold_in keys, so
+    every per-batch term is identical; only the closing psum reorders the
+    sum (SURVEY.md §7 step 7)."""
+    from vae_lagging_encoder_tpu.data import BucketedPool
+    from vae_lagging_encoder_tpu.train.epoch import (make_au_fn, make_eval_fn,
+                                                     make_iwnll_fn, make_mi_fn)
+
+    cfg = get_config("synthetic", ni=8, enc_nh=12, nz=3, dec_nh=12,
+                     dec_dropout_in=0.0, dec_dropout_out=0.0, batch_size=8)
+    sents, _ = generate_synthetic_corpus(num_sentences=88, vocab_size=20,
+                                         min_len=4, max_len=12, seed=9)
+    data = MonoTextData(sentences=sents)
+    # 11 batches: not divisible by 8 -> exercises the tail-padding path
+    pool = BucketedPool(data.create_data_batch(8, buckets=(8, 16)))
+    assert pool.num_batches % 8 != 0
+    vae = build_text_vae(cfg, len(data.vocab))
+    params = vae.init(jax.random.PRNGKey(2))
+    key = jax.random.PRNGKey(5)
+    mesh = make_mesh(8)
+
+    e1 = make_eval_fn(vae, pool)(params, key)
+    e8 = make_eval_fn(vae, pool, mesh=mesh)(params, key)
+    for k in ("loss", "rec", "kl", "nll", "ppl", "n_sents", "n_words"):
+        np.testing.assert_allclose(e1[k], e8[k], rtol=1e-5)
+
+    mi1 = make_mi_fn(vae, pool)(params, key)
+    mi8 = make_mi_fn(vae, pool, mesh=mesh)(params, key)
+    np.testing.assert_allclose(mi1, mi8, rtol=1e-4, atol=1e-6)
+
+    au1, var1 = make_au_fn(vae, pool)(params, key)
+    au8, var8 = make_au_fn(vae, pool, mesh=mesh)(params, key)
+    assert au1 == au8
+    np.testing.assert_allclose(var1, var8, rtol=1e-5)
+
+    iw1 = make_iwnll_fn(vae, pool, nsamples=10, ns=5)(params, key)
+    iw8 = make_iwnll_fn(vae, pool, nsamples=10, ns=5, mesh=mesh)(params, key)
+    np.testing.assert_allclose(iw1["nll"], iw8["nll"], rtol=1e-5)
+    np.testing.assert_allclose(iw1["ppl"], iw8["ppl"], rtol=1e-4)
 
 
 def test_dp_step_runs_multiple_steps():

@@ -218,24 +218,83 @@ def make_train_epoch(vae: VAE, pool: BucketedPool, cfg,
     return epoch_fn, opt_init
 
 
-def make_pool_reducer(pool: BucketedPool, batch_fn: Callable, init) -> Callable:
+def make_pool_reducer(pool: BucketedPool, batch_fn: Callable, init,
+                      mesh=None, axis: str = "dp") -> Callable:
     """Build ``reduce_fn(params, key) -> summed pytree`` where
     ``batch_fn(params, key, batch_tuple)`` returns a pytree of scalars added
-    across every batch in the pool (one fused XLA program)."""
-    flat_bucket, flat_idx = map(jnp.asarray, _flat_coords(pool))
+    across every batch in the pool (one fused XLA program).
 
-    @jax.jit
-    def reduce_fn(params, key):
-        def body(i, acc):
-            k_i = jax.random.fold_in(key, i)
+    With ``mesh`` set the reduction is data-parallel over BATCHES
+    (SURVEY.md §7 step 7 "eval sharded likewise"): device d computes whole
+    batches [d*ceil(n/D), ...) with the same ``fold_in(key, i)`` per-batch
+    keys as the unsharded path — so every per-batch value (including the
+    batch-mixture MI estimator, whose O(B²) pairwise term must see the whole
+    batch) is IDENTICAL to the single-device result, and only the final psum
+    changes summation order. The pool stays replicated (eval sets are small);
+    there is zero communication until the one closing psum over ICI.
+    """
+    flat_bucket, flat_idx = map(jnp.asarray, _flat_coords(pool))
+    n = pool.num_batches
+
+    if mesh is None:
+        @jax.jit
+        def reduce_fn(params, key):
+            def body(i, acc):
+                k_i = jax.random.fold_in(key, i)
+
+                def on(*batch):
+                    return batch_fn(params, k_i, batch)
+
+                out = pool.switch(flat_bucket[i], flat_idx[i], on)
+                return jax.tree.map(jnp.add, acc, out)
+
+            return jax.lax.fori_loop(0, n, body, init)
+
+        return reduce_fn
+
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[axis]
+    per = -(-n // n_dev)
+    arr_leaves = [a for arrs in pool.arrays for a in arrs]
+    arr_sizes = [len(arrs) for arrs in pool.arrays]
+
+    def _rebuild(leaves):
+        out, k = [], 0
+        for m in arr_sizes:
+            out.append(tuple(leaves[k:k + m]))
+            k += m
+        return out
+
+    def reduce_core(params, key, *arr_flat):
+        local_arrays = _rebuild(list(arr_flat))
+        d = jax.lax.axis_index(axis)
+
+        def body(j, acc):
+            i = d * per + j
+            valid = i < n
+            i_c = jnp.minimum(i, n - 1)
+            k_i = jax.random.fold_in(key, i_c)
 
             def on(*batch):
                 return batch_fn(params, k_i, batch)
 
-            out = pool.switch(flat_bucket[i], flat_idx[i], on)
+            out = pool.switch(flat_bucket[i_c], flat_idx[i_c], on,
+                              arrays=local_arrays)
+            out = jax.tree.map(
+                lambda x: jnp.where(valid, x, jnp.zeros_like(x)), out)
             return jax.tree.map(jnp.add, acc, out)
 
-        return jax.lax.fori_loop(0, pool.num_batches, body, init)
+        acc = jax.lax.fori_loop(0, per, body, init)
+        return jax.lax.psum(acc, axis)
+
+    @jax.jit
+    def reduce_fn(params, key):
+        fn = jax.shard_map(
+            reduce_core, mesh=mesh,
+            in_specs=(P(), P(), *([P()] * len(arr_leaves))),
+            out_specs=P(), check_vma=False)
+        return fn(params, key, *arr_leaves)
 
     return reduce_fn
 
@@ -272,7 +331,7 @@ def _safe_exp(x: float) -> float:
 
 
 def make_eval_fn(vae: VAE, pool: BucketedPool, nsamples: int = 1,
-                 loss_fn: Callable | None = None) -> Callable:
+                 loss_fn: Callable | None = None, mesh=None) -> Callable:
     """ELBO evaluation: returns dict(loss, rec, kl per item; ppl)."""
     loss_fn = loss_fn or make_loss_fn(vae, nsamples=nsamples, train=False)
 
@@ -281,7 +340,7 @@ def make_eval_fn(vae: VAE, pool: BucketedPool, nsamples: int = 1,
         return sums
 
     init = tuple(jnp.float32(0.0) for _ in range(5))
-    reducer = make_pool_reducer(pool, batch_fn, init)
+    reducer = make_pool_reducer(pool, batch_fn, init, mesh=mesh)
 
     def eval_fn(params, key):
         loss_s, rec_s, kl_s, n_sent, n_words = map(
@@ -296,7 +355,8 @@ def make_eval_fn(vae: VAE, pool: BucketedPool, nsamples: int = 1,
     return eval_fn
 
 
-def make_mi_fn(vae: VAE, pool: BucketedPool, prep: Callable = _unpack) -> Callable:
+def make_mi_fn(vae: VAE, pool: BucketedPool, prep: Callable = _unpack,
+               mesh=None) -> Callable:
     """Corpus MI: batch-size-weighted mean of per-batch MI estimates
     (parity: <ref>text.py §calc_mi)."""
 
@@ -307,7 +367,9 @@ def make_mi_fn(vae: VAE, pool: BucketedPool, prep: Callable = _unpack) -> Callab
         n = row_weight.sum()
         return (mi * n, n)
 
-    reducer = make_pool_reducer(pool, batch_fn, (jnp.float32(0.0), jnp.float32(0.0)))
+    reducer = make_pool_reducer(pool, batch_fn,
+                                (jnp.float32(0.0), jnp.float32(0.0)),
+                                mesh=mesh)
 
     def mi_fn(params, key):
         mi_sum, n = jax.device_get(reducer(params, key))
@@ -317,7 +379,7 @@ def make_mi_fn(vae: VAE, pool: BucketedPool, prep: Callable = _unpack) -> Callab
 
 
 def make_au_fn(vae: VAE, pool: BucketedPool, delta: float = 0.01,
-               prep: Callable = _unpack) -> Callable:
+               prep: Callable = _unpack, mesh=None) -> Callable:
     """Active units: #dims with Var_x[mu(x)] > delta — two fused passes
     (parity: <ref>text.py §calc_au)."""
     nz = vae.nz
@@ -328,7 +390,7 @@ def make_au_fn(vae: VAE, pool: BucketedPool, delta: float = 0.01,
         return (jnp.sum(mu * row_weight[:, None], axis=0), row_weight.sum())
 
     mean_reducer = make_pool_reducer(
-        pool, mean_batch, (jnp.zeros((nz,)), jnp.float32(0.0)))
+        pool, mean_batch, (jnp.zeros((nz,)), jnp.float32(0.0)), mesh=mesh)
 
     def au_fn(params, key):
         mu_sum, n = mean_reducer(params, key)
@@ -340,7 +402,8 @@ def make_au_fn(vae: VAE, pool: BucketedPool, delta: float = 0.01,
             dev = (mu - mu_mean) ** 2 * row_weight[:, None]
             return (jnp.sum(dev, axis=0),)
 
-        var_reducer = make_pool_reducer(pool, var_batch, (jnp.zeros((nz,)),))
+        var_reducer = make_pool_reducer(pool, var_batch, (jnp.zeros((nz,)),),
+                                        mesh=mesh)
         (var_sum,) = var_reducer(params, key)
         var = jax.device_get(var_sum) / max(float(jax.device_get(n)) - 1.0, 1.0)
         return int((var > delta).sum()), var
@@ -349,9 +412,12 @@ def make_au_fn(vae: VAE, pool: BucketedPool, delta: float = 0.01,
 
 
 def make_iwnll_fn(vae: VAE, pool: BucketedPool, nsamples: int = 500,
-                  ns: int = 100, prep: Callable = _unpack) -> Callable:
+                  ns: int = 100, prep: Callable = _unpack,
+                  mesh=None) -> Callable:
     """500-sample importance-weighted NLL + PPL over a pool
-    (parity: <ref>text.py §calc_iwnll → <ref>vae.py §nll_iw)."""
+    (parity: <ref>text.py §calc_iwnll → <ref>vae.py §nll_iw). The most
+    FLOPs-heavy path in the repo (SURVEY.md §3.3); with ``mesh`` it
+    parallelizes over batches with zero communication until the final psum."""
 
     def batch_fn(params, key, batch):
         k_prep, key = jax.random.split(key)
@@ -361,7 +427,7 @@ def make_iwnll_fn(vae: VAE, pool: BucketedPool, nsamples: int = 500,
                 _unit_count(x, mask, row_weight))
 
     reducer = make_pool_reducer(
-        pool, batch_fn, tuple(jnp.float32(0.0) for _ in range(3)))
+        pool, batch_fn, tuple(jnp.float32(0.0) for _ in range(3)), mesh=mesh)
 
     def iwnll_fn(params, key):
         nll_sum, n_sent, n_words = map(float, jax.device_get(reducer(params, key)))

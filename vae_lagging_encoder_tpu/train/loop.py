@@ -65,10 +65,12 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
     epoch_fn, opt_init = make_train_epoch(vae, train_pool, cfg,
                                           loss_fn=loss_fn, mesh=mesh)
     opt_state = opt_init(params)
-    val_eval = make_eval_fn(vae, val_pool, loss_fn=eval_loss_fn)
-    val_mi = make_mi_fn(vae, val_pool, prep=prep)
+    # eval suite sharded over the same mesh (batch-parallel, SURVEY.md §7
+    # step 7); eval pools stay replicated — only the train pool is sharded.
+    val_eval = make_eval_fn(vae, val_pool, loss_fn=eval_loss_fn, mesh=mesh)
+    val_mi = make_mi_fn(vae, val_pool, prep=prep, mesh=mesh)
     # <ref>text.py evaluates on the TEST set every test_nepoch epochs too
-    test_eval = make_eval_fn(vae, test_pool, loss_fn=eval_loss_fn)
+    test_eval = make_eval_fn(vae, test_pool, loss_fn=eval_loss_fn, mesh=mesh)
     master_key = jax.random.PRNGKey(cfg.seed)
 
     kl_weight = float(cfg.kl_start)
@@ -227,7 +229,7 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
 
     params = jax.tree.map(jnp.asarray, best_params)
     results = run_final_eval(cfg, vae, params, test_pool, log,
-                             eval_loss_fn=eval_loss_fn, prep=prep)
+                             eval_loss_fn=eval_loss_fn, prep=prep, mesh=mesh)
     results["history"] = history
     results["best_val_loss"] = best_loss
     results["save_path"] = save_path
@@ -236,18 +238,24 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
 
 def run_final_eval(cfg: ExperimentConfig, vae, params, pool, log: Logger,
                    eval_loss_fn: Callable | None = None,
-                   prep: Callable = _unpack) -> Dict:
+                   prep: Callable = _unpack, mesh=None) -> Dict:
     """Final suite: ELBO decomposition, MI, AU, IW-NLL + PPL.
 
     Parity: <ref>text.py/image.py final block → test(), calc_mi(),
-    calc_au(), calc_iwnll() (SURVEY.md §3.3).
+    calc_au(), calc_iwnll() (SURVEY.md §3.3). With ``mesh`` (or
+    cfg.dp_devices > 1) every estimator is batch-parallel over the mesh.
     """
+    if mesh is None and cfg.dp_devices > 1:
+        from ..parallel import make_mesh
+        mesh = make_mesh(cfg.dp_devices)
     key = jax.random.PRNGKey(cfg.seed + 1)
-    elbo = make_eval_fn(vae, pool, loss_fn=eval_loss_fn)(params, key)
-    mi = make_mi_fn(vae, pool, prep=prep)(params, jax.random.fold_in(key, 1))
-    au, au_var = make_au_fn(vae, pool, prep=prep)(params, jax.random.fold_in(key, 2))
+    elbo = make_eval_fn(vae, pool, loss_fn=eval_loss_fn, mesh=mesh)(params, key)
+    mi = make_mi_fn(vae, pool, prep=prep, mesh=mesh)(
+        params, jax.random.fold_in(key, 1))
+    au, au_var = make_au_fn(vae, pool, prep=prep, mesh=mesh)(
+        params, jax.random.fold_in(key, 2))
     iw = make_iwnll_fn(vae, pool, nsamples=cfg.iw_nsamples, ns=cfg.iw_batch,
-                       prep=prep)(params, jax.random.fold_in(key, 3))
+                       prep=prep, mesh=mesh)(params, jax.random.fold_in(key, 3))
     results = {
         "elbo_loss": float(elbo["loss"]), "rec": float(elbo["rec"]),
         "kl": float(elbo["kl"]), "mi": float(mi), "au": int(au),
