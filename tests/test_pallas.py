@@ -105,3 +105,93 @@ def test_lstm_run_pallas_backend_matches_scan_backend():
     m = np.asarray(mask)[..., None]
     np.testing.assert_allclose(np.asarray(outs_p) * m, np.asarray(outs_s) * m,
                                atol=2e-5)
+
+
+# ---------------------------------------------------------------- fused CE
+class TestFusedCE:
+    """ops/ce_pallas.py vs the log_softmax+gather oracle.
+
+    Covers: ragged vocab (V not a tile multiple), padded rows (N not a
+    block multiple), masked grads for h AND the projection, and the bf16
+    MXU mode's drift bound.
+    """
+
+    @staticmethod
+    def _inputs(n=100, nh=128, vocab=1234, seed=0):
+        from vae_lagging_encoder_tpu.ops.ce_pallas import fused_ce_logp
+        rng = np.random.RandomState(seed)
+        h = jnp.asarray(rng.randn(n, nh).astype(np.float32) * 0.4)
+        w = jnp.asarray(rng.randn(nh, vocab).astype(np.float32) * 0.05)
+        tgt = jnp.asarray(rng.randint(0, vocab, n).astype(np.int32))
+        mask = jnp.asarray((rng.rand(n) > 0.3).astype(np.float32))
+        return fused_ce_logp, h, w, tgt, mask
+
+    @staticmethod
+    def _oracle(h, w, tgt):
+        logits = jnp.dot(h, w, preferred_element_type=jnp.float32)
+        return jax.nn.log_softmax(logits, -1)[jnp.arange(h.shape[0]), tgt]
+
+    @pytest.mark.parametrize("n,vocab", [(100, 1234), (512, 2048), (8, 4097)])
+    def test_forward_matches_log_softmax_gather(self, n, vocab):
+        op, h, w, tgt, _ = self._inputs(n=n, vocab=vocab)
+        got = op(h, w, tgt, mxu_dtype=None)
+        np.testing.assert_allclose(np.asarray(got),
+                                   np.asarray(self._oracle(h, w, tgt)),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_grads_match_log_softmax_vjp(self):
+        op, h, w, tgt, mask = self._inputs()
+
+        def loss_kernel(h, w):
+            return -jnp.sum(op(h, w, tgt, mxu_dtype=None) * mask)
+
+        def loss_oracle(h, w):
+            return -jnp.sum(self._oracle(h, w, tgt) * mask)
+
+        gk = jax.grad(loss_kernel, (0, 1))(h, w)
+        go = jax.grad(loss_oracle, (0, 1))(h, w)
+        np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(go[0]),
+                                   atol=1e-5, rtol=1e-4, err_msg="dh")
+        np.testing.assert_allclose(np.asarray(gk[1]), np.asarray(go[1]),
+                                   atol=1e-4, rtol=1e-4, err_msg="dw")
+
+    def test_bf16_mxu_mode_bounded_drift(self):
+        """bf16 operands / f32 accumulation (XLA DEFAULT-precision
+        equivalent): per-token drift stays under ~5e-2 at yahoo-like
+        logit magnitudes."""
+        op, h, w, tgt, _ = self._inputs(n=256, nh=256, vocab=2048, seed=3)
+        got = op(h, w, tgt, mxu_dtype=jnp.bfloat16)
+        drift = np.max(np.abs(np.asarray(got)
+                              - np.asarray(self._oracle(h, w, tgt))))
+        assert drift < 5e-2, drift
+
+    def test_decoder_fused_path_matches_xla_path(self):
+        """LSTMDecoder.reconstruct_error: backend='pallas' (fused CE +
+        fused LSTM, interpret) vs backend='scan' (XLA log_softmax)."""
+        from vae_lagging_encoder_tpu.models.dec_lstm import LSTMDecoder
+        rng = np.random.RandomState(7)
+        B_, T_, V_, K_ = 8, 10, 1100, 3
+        mk = lambda b: LSTMDecoder(V_, ni=16, nh=128, nz=4, dropout_in=0.0,
+                                   dropout_out=0.0, backend=b)
+        dec_s, dec_p = mk("scan"), mk("pallas")
+        params = dec_s.init(jax.random.PRNGKey(0))
+        tokens = jnp.asarray(rng.randint(0, V_, (B_, T_)).astype(np.int32))
+        lens = rng.randint(3, T_ + 1, size=B_)
+        mask = jnp.asarray((np.arange(T_)[None, :] < lens[:, None])
+                           .astype(np.float32))
+        z = jnp.asarray(rng.randn(B_, K_, 4).astype(np.float32))
+        rs = dec_s.reconstruct_error(params, tokens, mask, z)
+        rp = dec_p.reconstruct_error(params, tokens, mask, z)
+        np.testing.assert_allclose(np.asarray(rp), np.asarray(rs),
+                                   atol=2e-3, rtol=1e-4)
+
+        gs = jax.grad(lambda p: jnp.sum(
+            dec_s.reconstruct_error(p, tokens, mask, z)))(params)
+        gp = jax.grad(lambda p: jnp.sum(
+            dec_p.reconstruct_error(p, tokens, mask, z)))(params)
+        def check(path, vs, vp):
+            np.testing.assert_allclose(np.asarray(vp), np.asarray(vs),
+                                       atol=5e-3, rtol=1e-3,
+                                       err_msg=jax.tree_util.keystr(path))
+
+        jax.tree_util.tree_map_with_path(check, gs, gp)

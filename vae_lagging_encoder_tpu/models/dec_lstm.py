@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.vocab import BOS_ID, EOS_ID, PAD_ID
+from ..ops.ce_pallas import ce_fusable, fused_ce_logp
 from .decoder import DecoderBase
 from .lstm_core import (init_lstm_params, lstm_bias, lstm_cell, lstm_run,
                         uniform)
@@ -134,6 +135,23 @@ class LSTMDecoder(DecoderBase):
 
         def rec_chunk(z_chunk):  # [B, k, nz] -> [B, k]
             k = z_chunk.shape[1]
+            if self.backend == "pallas" and ce_fusable(self.nh, self.vocab_size):
+                # Fused vocab-projection + CE (ops/ce_pallas.py): per-token
+                # target logp without materializing [k*B*(T-1), V] logits
+                # in HBM — used on BOTH the training and IW-eval paths.
+                key_in, key_out = (jax.random.split(key)
+                                   if key is not None else (None, None))
+                outs = self._hidden_states(params, tokens[:, :-1], z_chunk,
+                                           key_in, train)  # [k*B, T-1, nh]
+                if train and key_out is not None:
+                    outs = _dropout(key_out, outs, self.dropout_out, train)
+                tgt = jnp.broadcast_to(tokens[None, :, 1:],
+                                       (k, B, T - 1)).reshape(-1)
+                logp = fused_ce_logp(
+                    outs.reshape(-1, self.nh).astype(self.compute_dtype),
+                    params["pred"].astype(self.compute_dtype), tgt)
+                tok_lp = logp.reshape(k, B, T - 1).transpose(1, 0, 2)
+                return -jnp.sum(tok_lp * mask[:, None, 1:], axis=-1)
             logits = self.decode(params, tokens[:, :-1], z_chunk, key, train)
             tgt = jnp.broadcast_to(tokens[:, None, 1:], (B, k, T - 1))
             if train:
@@ -224,7 +242,10 @@ class LSTMDecoder(DecoderBase):
                 for toks, lp, (h, c) in beams:
                     logp, h2, c2 = step_fn(params, zn, jnp.asarray([toks[-1]]), h, c)
                     logp = np.asarray(logp)[0]
-                    top = np.argpartition(-logp, beam_width)[:beam_width]
+                    if beam_width < logp.shape[-1]:
+                        top = np.argpartition(-logp, beam_width)[:beam_width]
+                    else:  # tiny vocab: expand every token
+                        top = np.arange(logp.shape[-1])
                     for t in top:
                         cand.append((toks + [int(t)], lp + float(logp[t]), (h2, c2)))
                 cand.sort(key=lambda x: -x[1])
