@@ -195,3 +195,27 @@ class TestFusedCE:
                                        err_msg=jax.tree_util.keystr(path))
 
         jax.tree_util.tree_map_with_path(check, gs, gp)
+
+
+def test_wide_batch_inference_routing_matches_scan():
+    """B > 128 no-grad calls route through the row-chunked inference kernel
+    (ops/lstm_pallas.py::lstm_seq_fused_infer) — outputs and final carries
+    must match the scan path, including with row padding (B=136 -> 2x72)."""
+    rng = np.random.RandomState(9)
+    B_, T_, NI_ = 136, 12, 24
+    params = {"wx": jnp.asarray(rng.uniform(-0.1, 0.1, (NI_, 4 * H)).astype(np.float32)),
+              "wh": jnp.asarray(rng.uniform(-0.08, 0.08, (H, 4 * H)).astype(np.float32)),
+              "b_ih": jnp.asarray(rng.uniform(-0.1, 0.1, (4 * H,)).astype(np.float32)),
+              "b_hh": jnp.asarray(rng.uniform(-0.1, 0.1, (4 * H,)).astype(np.float32))}
+    x = jnp.asarray(rng.randn(B_, T_, NI_).astype(np.float32))
+    lens = rng.randint(3, T_ + 1, size=B_)
+    mask = jnp.asarray((np.arange(T_)[None, :] < lens[:, None]).astype(np.float32))
+
+    outs_s, (hT_s, cT_s) = lstm_run(params, x, mask, backend="scan")
+    outs_p, (hT_p, cT_p) = lstm_run(params, x, mask, backend="pallas",
+                                    inference=True)
+    np.testing.assert_allclose(np.asarray(hT_p), np.asarray(hT_s), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(cT_p), np.asarray(cT_s), atol=2e-5)
+    m = np.asarray(mask)[..., None]
+    np.testing.assert_allclose(np.asarray(outs_p) * m, np.asarray(outs_s) * m,
+                               atol=2e-5)

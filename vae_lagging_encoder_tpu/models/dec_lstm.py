@@ -100,7 +100,10 @@ class LSTMDecoder(DecoderBase):
         h0, c0 = self._init_state(params, z_flat)
         outs, _ = lstm_run(params["lstm"], inp, mask=None, h0=h0, c0=c0,
                            compute_dtype=self.compute_dtype,
-                           backend=self.backend)
+                           backend=self.backend,
+                           # eval-mode calls are no-grad (IW-NLL / probes):
+                           # allow the wide-batch inference kernel routing
+                           inference=not train)
         return outs  # [K*B, T, nh]
 
     def decode(self, params, tokens_in: jnp.ndarray, z: jnp.ndarray,

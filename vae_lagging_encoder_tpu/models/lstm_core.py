@@ -70,7 +70,8 @@ def lstm_run(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
              c0: Optional[jnp.ndarray] = None,
              compute_dtype=jnp.float32,
              unroll: int = 4,
-             backend: str = "scan") -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+             backend: str = "scan",
+             inference: bool = False) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Run the LSTM over a padded batch.
 
     x: [B, T, input_dim]; mask: [B, T] (1 real / 0 pad) or None.
@@ -82,6 +83,12 @@ def lstm_run(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
     path emits the *kept* state where scan emits the raw step output — the
     two agree everywhere a mask is 1 and on the final carries, which is all
     any caller consumes (decoder is unmasked; encoder uses only the carry).
+
+    inference=True marks a no-grad call: batches wider than the training
+    kernel's limit (IW evaluation runs B·iw_chunk rows, SURVEY.md §3.3) are
+    row-chunked through the residual-free inference kernel instead of
+    falling back to scan. That path has NO VJP — gradients through it
+    error loudly; callers pass inference only from no-grad eval paths.
     """
     B, T, _ = x.shape
     H = params["wh"].shape[0]
@@ -97,22 +104,35 @@ def lstm_run(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
     if c0 is None:
         c0 = jnp.zeros((B, H), jnp.float32)
 
+    pallas_ok = backend == "pallas" and H % 128 == 0 and B % 8 == 0
+    # wh must be VMEM-resident for the whole sequence; above H=512 the
+    # f32 matrix (16 MB at H=1024) oversubscribes VMEM, so drop the
+    # weights (only) to bf16 — accumulation stays f32.
+    wh_dtype = jnp.bfloat16 if (H > 512 or compute_dtype == jnp.bfloat16) \
+        else jnp.float32
+
     # The fused kernel wins when the recurrent matmul is tiny/latency-bound
-    # (training batch sizes). At IW-eval widths (rows = B*iw_chunk, e.g. 320)
-    # its UNROLL-blocked VMEM working set (xw in + gates residual out,
-    # ~U*B*4H*4 bytes each, double-buffered) exceeds budget AND the scan
-    # path is already MXU-efficient there — so route wide batches to scan.
-    if (backend == "pallas" and H % 128 == 0 and B % 8 == 0 and B <= 128):
+    # (training batch sizes); its UNROLL-blocked VMEM working set (xw in +
+    # gates residual out, ~U*B*4H*4 bytes each, double-buffered) caps the
+    # differentiable path at B=128.
+    if pallas_ok and B <= 128:
         from ..ops.lstm_pallas import lstm_seq_fused
 
         m = (mask.T if mask is not None
              else jnp.ones((T, B), jnp.float32))
-        # wh must be VMEM-resident for the whole sequence; above H=512 the
-        # f32 matrix (16 MB at H=1024) oversubscribes VMEM, so drop the
-        # weights (only) to bf16 — accumulation stays f32.
-        wh_dtype = jnp.bfloat16 if (H > 512 or compute_dtype == jnp.bfloat16) \
-            else jnp.float32
         hs, hT, cT = lstm_seq_fused(xw, m, wh.astype(wh_dtype), h0, c0)
+        return hs.transpose(1, 0, 2), (hT, cT)
+
+    # Wide no-grad batches (IW eval): the residual-free inference kernel,
+    # which shrinks its timestep unroll to fit VMEM instead of chunking —
+    # wh stays VMEM-resident across the sequence where scan re-streams it
+    # from HBM every timestep (measured at B=320/T=96/H=1024 on v5e:
+    # 5.8 ms kernel vs 8.3 ms scan per forward).
+    if pallas_ok and inference and B > 128:
+        from ..ops.lstm_pallas import lstm_seq_fused_infer
+
+        m = (mask.T if mask is not None else jnp.ones((T, B), jnp.float32))
+        hs, hT, cT = lstm_seq_fused_infer(xw, m, wh.astype(wh_dtype), h0, c0)
         return hs.transpose(1, 0, 2), (hT, cT)
     # (pallas requested but shapes off-tile -> fall through to the scan path)
 

@@ -42,7 +42,9 @@ from jax.experimental.pallas import tpu as pltpu
 # The Mosaic scoped-VMEM default (16 MB) is tight for H=1024: bf16 wh (8 MB)
 # + double-buffered per-step streams + the reverse kernel's extra residual
 # streams overflow it; v5e's physical VMEM is far larger, so raise the cap.
-VMEM_LIMIT_BYTES = 48 * 1024 * 1024
+# 100 MB admits the training kernel up to B=64 (measured 49 MB working set
+# at B=64/H=1024) and the residual-free inference kernel up to B=128.
+VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 
 
 def _gates(xw_t, h, wh):
@@ -158,6 +160,99 @@ def _fwd_call(xw, mask, wh, h0, c0):
             vmem_limit_bytes=VMEM_LIMIT_BYTES),
     )(xw, mask, wh, h0, c0)
     return hs[:T], cs[:T], gates[:T], hT, cT
+
+
+# ------------------------------------------------------------- inference
+def _infer_kernel(xw_ref, mask_ref, wh_ref, h0_ref, c0_ref,
+                  hs_ref, hT_ref, cT_ref, h_scr, c_scr, *, unroll: int):
+    """Forward-only variant: no cs/gates residual outputs. Used on the
+    no-grad evaluation paths (IW-NLL is the repo's most FLOPs-heavy path,
+    SURVEY.md §3.3) where the training kernel's residual streams would
+    waste 5H of output bandwidth per step and overflow VMEM at IW widths."""
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[:]
+        c_scr[:] = c0_ref[:]
+
+    wh = wh_ref[:]
+    h_keep = h_scr[:]
+    c_keep = c_scr[:]
+    H = h_keep.shape[-1]
+    for u in range(unroll):
+        h_prev, c_prev = h_keep, c_keep
+        i, f, g, o = _gates(xw_ref[u], h_prev.astype(wh.dtype), wh)
+        c_raw = f * c_prev + i * g
+        h_raw = o * jnp.tanh(c_raw)
+        m = mask_ref[u]
+        if H > 128:
+            m = pltpu.repeat(m, H // 128, axis=1)
+        h_keep = m * h_raw + (1.0 - m) * h_prev
+        c_keep = m * c_raw + (1.0 - m) * c_prev
+        hs_ref[u] = h_keep
+    h_scr[:] = h_keep
+    c_scr[:] = c_keep
+
+    @pl.when(t == T - 1)
+    def _():
+        hT_ref[:] = h_keep
+        cT_ref[:] = c_keep
+
+
+def _infer_unroll(B: int, H: int) -> int:
+    """Largest timestep unroll whose double-buffered per-step streams
+    (xw in, hs out ≈ U·B·5H·4 bytes ·2) fit a ~48 MB budget alongside the
+    VMEM-resident wh — wide IW-eval batches shrink the unroll instead of
+    overflowing VMEM (measured at B=320/H=1024: U=2 → 5.8 ms vs 8.3 ms
+    scan per T=96 forward on v5e)."""
+    budget = 48 * 1024 * 1024
+    for u in (8, 4, 2):
+        if u * B * 5 * H * 4 * 2 <= budget:
+            return u
+    return 1
+
+
+def lstm_seq_fused_infer(xw, mask, wh, h0, c0):
+    """Forward-only fused LSTM (same contract as ``lstm_seq_fused`` but
+    with NO residuals and NO VJP — taking a gradient through it errors
+    loudly). Returns (hs [T, B, H], hT, cT)."""
+    T, B, H4 = xw.shape
+    H = H4 // 4
+    U = _infer_unroll(B, H)
+    T_pad = -(-T // U) * U
+    xw = _pad_T(xw, T_pad)
+    mask = _pad_T(_mask128(mask), T_pad)
+    f32 = jnp.float32
+    hs, hT, cT = pl.pallas_call(
+        functools.partial(_infer_kernel, unroll=U),
+        grid=(T_pad // U,),
+        in_specs=[
+            pl.BlockSpec((U, B, H4), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, B, 128), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((U, B, H), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T_pad, B, H), f32),
+            jax.ShapeDtypeStruct((B, H), f32),
+            jax.ShapeDtypeStruct((B, H), f32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, H), f32), pltpu.VMEM((B, H), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
+    )(xw, mask, wh, h0, c0)
+    return hs[:T], hT, cT
 
 
 # ---------------------------------------------------------------- backward
