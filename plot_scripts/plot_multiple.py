@@ -21,6 +21,11 @@ import matplotlib.pyplot as plt  # noqa: E402
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("pickle")
+    p.add_argument("--compare", default=None,
+                   help="second pickle rendered side-by-side (the paper's "
+                        "plain-vs-aggressive collapse comparison)")
+    p.add_argument("--labels", default="plain VAE,aggressive",
+                   help="comma-separated panel labels for --compare")
     p.add_argument("--max_panels", type=int, default=12)
     p.add_argument("--gif", default=None)
     p.add_argument("--out", default=None)
@@ -28,29 +33,57 @@ def main():
 
     with open(args.pickle, "rb") as fh:
         trace = pickle.load(fh)
-    lim = max(1.0, max(abs(t["pairs"]).max() for t in trace) * 1.05)
+    traces = [trace]
+    if args.compare:
+        with open(args.compare, "rb") as fh:
+            traces.append(pickle.load(fh))
+    lim = max(1.0, max(abs(t["pairs"]).max()
+                       for tr in traces for t in tr) * 1.05)
 
-    def draw(ax, snap):
+    def draw(ax, snap, label=None):
         ax.plot([-lim, lim], [-lim, lim], "k--", lw=0.6, alpha=0.4)
         ax.axhline(0, color="gray", lw=0.4)
         ax.scatter(snap["pairs"][:, 0], snap["pairs"][:, 1], s=4, alpha=0.5)
         ax.set_xlim(-lim, lim)
         ax.set_ylim(-lim, lim)
-        ax.set_title(f"epoch {snap['epoch']}", fontsize=8)
+        title = f"epoch {snap['epoch']}"
+        if label:
+            title = f"{label} — {title}"
+        ax.set_title(title, fontsize=8)
         ax.tick_params(labelsize=6)
 
+    labels = args.labels.split(",")
     if args.gif:
         import matplotlib.animation as anim
 
-        fig, ax = plt.subplots(figsize=(4, 4))
+        n = len(traces)
+        frames = min(len(t) for t in traces)
+        fig, axes = plt.subplots(1, n, figsize=(4 * n, 4), squeeze=False)
 
         def update(i):
-            ax.clear()
-            draw(ax, trace[i])
+            for r, tr in enumerate(traces):
+                axes[0][r].clear()
+                draw(axes[0][r], tr[i], labels[r] if n > 1 else None)
 
-        a = anim.FuncAnimation(fig, update, frames=len(trace), interval=400)
+        a = anim.FuncAnimation(fig, update, frames=frames, interval=400)
         a.save(args.gif, writer="pillow", dpi=100)
         print(args.gif)
+        return
+
+    if args.compare:
+        frames = min(len(t) for t in traces)
+        step = max(1, frames // args.max_panels)
+        idx = list(range(0, frames, step))[: args.max_panels]
+        fig, axes = plt.subplots(len(traces), len(idx),
+                                 figsize=(2.6 * len(idx), 2.8 * len(traces)),
+                                 squeeze=False)
+        for r, tr in enumerate(traces):
+            for k, i in enumerate(idx):
+                draw(axes[r][k], tr[i],
+                     labels[r] if k == 0 else None)
+        out = args.out or args.pickle.replace(".pkl", "_compare.png")
+        fig.savefig(out, dpi=130, bbox_inches="tight")
+        print(out)
         return
 
     step = max(1, len(trace) // args.max_panels)
