@@ -245,3 +245,45 @@ def test_posterior_mean_probes():
     infer_mean = vae.calc_infer_mean(params, toks, mask)
     assert post_mean.shape == (4, 1) and infer_mean.shape == (4, 1)
     assert np.isfinite(np.asarray(post_mean)).all()
+
+
+def test_beam_search_matches_exhaustive_oracle():
+    """VERDICT r1 weak #7: beam search vs a tiny-vocab EXHAUSTIVE oracle.
+
+    V=6, max_len=4: enumerate every token sequence, score complete ones
+    (ending in EOS) with the beam's length-normalized total logp
+    (len counts BOS..EOS inclusive), and require beam_width >= V (clamped
+    internally to expand every token) to return the global argmax."""
+    import itertools
+
+    V_, NI_, NH_, NZ_, L = 6, 8, 16, 2, 4
+    dec = LSTMDecoder(V_, NI_, NH_, NZ_, dropout_in=0.0, dropout_out=0.0)
+    params = dec.init(jax.random.PRNGKey(3))
+    # sharpen the distribution so the oracle argmax is unambiguous
+    params["pred"] = params["pred"] * 40.0
+    z = jnp.asarray(np.random.RandomState(8).randn(1, NZ_).astype(np.float32) * 2)
+
+    # teacher-forced chain logps for ALL 6^k prefixes, k = 1..L
+    best_score, best_seq = -np.inf, None
+    for k in range(1, L + 1):
+        seqs = np.array(list(itertools.product(range(V_), repeat=k)),
+                        dtype=np.int32)                      # [6^k, k]
+        toks_in = np.concatenate(
+            [np.full((len(seqs), 1), BOS_ID, np.int32), seqs[:, :-1]], axis=1)
+        logits = dec.decode(params, jnp.asarray(toks_in),
+                            jnp.broadcast_to(z[:, None, :],
+                                             (len(seqs), 1, NZ_)))
+        logp = np.asarray(jax.nn.log_softmax(logits[:, 0], axis=-1))
+        chain = logp[np.arange(len(seqs))[:, None],
+                     np.arange(k)[None, :], seqs].sum(axis=1)
+        done = seqs[:, -1] == EOS_ID   # complete sequences end at EOS
+        if k > 1:  # no internal EOS (the beam never extends past one)
+            done &= (seqs[:, :-1] != EOS_ID).all(axis=1)
+        for s, sc in zip(seqs[done], chain[done]):
+            norm = sc / (k + 1)        # len([BOS] + seq) like the beam
+            if norm > best_score:
+                best_score, best_seq = norm, [BOS_ID] + list(s)
+
+    assert best_seq is not None, "oracle found no EOS-terminated sequence"
+    got = dec.beam_search_decode(params, z, beam_width=V_, max_len=L)[0]
+    assert got == best_seq, (got, best_seq, best_score)
