@@ -46,7 +46,7 @@ def _dropout(key, x, rate: float, train: bool):
 class LSTMDecoder(DecoderBase):
     def __init__(self, vocab_size: int, ni: int, nh: int, nz: int,
                  dropout_in: float = 0.5, dropout_out: float = 0.5,
-                 compute_dtype=jnp.float32, iw_chunk: int = 10,
+                 compute_dtype=jnp.float32, iw_chunk: int = 20,
                  backend: str = "scan"):
         self.vocab_size = vocab_size
         self.ni = ni
@@ -56,8 +56,10 @@ class LSTMDecoder(DecoderBase):
         self.dropout_out = dropout_out
         self.compute_dtype = compute_dtype
         self.backend = backend
-        # z-sample chunk for reconstruct_error when K is large (IW eval):
-        # peak logits tensor is [B*iw_chunk, T, V].
+        # z-sample chunk for reconstruct_error when K is large (IW eval);
+        # bounds the per-chunk row count B*iw_chunk (and, on the XLA path,
+        # the peak [B*iw_chunk, T, V] logits tensor). 20 measured fastest
+        # on v5e at the yahoo config (553 ms vs 616 at 10 per IW batch).
         self.iw_chunk = iw_chunk
 
     def init(self, key) -> Dict:

@@ -129,11 +129,15 @@ def lstm_run(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
     # from HBM every timestep (measured at B=320/T=96/H=1024 on v5e:
     # 5.8 ms kernel vs 8.3 ms scan per forward).
     if pallas_ok and inference and B > 128:
-        from ..ops.lstm_pallas import lstm_seq_fused_infer
+        from ..ops.lstm_pallas import infer_kernel_fits, lstm_seq_fused_infer
 
-        m = (mask.T if mask is not None else jnp.ones((T, B), jnp.float32))
-        hs, hT, cT = lstm_seq_fused_infer(xw, m, wh.astype(wh_dtype), h0, c0)
-        return hs.transpose(1, 0, 2), (hT, cT)
+        if infer_kernel_fits(B, H):
+            m = (mask.T if mask is not None
+                 else jnp.ones((T, B), jnp.float32))
+            hs, hT, cT = lstm_seq_fused_infer(xw, m, wh.astype(wh_dtype),
+                                              h0, c0)
+            return hs.transpose(1, 0, 2), (hT, cT)
+        # extreme widths (B·5H·8 bytes > VMEM even unrolled by 1) -> scan
     # (pallas requested but shapes off-tile -> fall through to the scan path)
 
     if mask is not None:

@@ -206,12 +206,17 @@ def _infer_unroll(B: int, H: int) -> int:
     (xw in, hs out ≈ U·B·5H·4 bytes ·2) fit a ~48 MB budget alongside the
     VMEM-resident wh — wide IW-eval batches shrink the unroll instead of
     overflowing VMEM (measured at B=320/H=1024: U=2 → 5.8 ms vs 8.3 ms
-    scan per T=96 forward on v5e)."""
+    scan per T=96 forward on v5e). Returns 0 when even U=1 cannot fit
+    (B·H beyond ~600k rows·lanes) — callers must fall back to scan."""
     budget = 48 * 1024 * 1024
-    for u in (8, 4, 2):
+    for u in (8, 4, 2, 1):
         if u * B * 5 * H * 4 * 2 <= budget:
             return u
-    return 1
+    return 0
+
+
+def infer_kernel_fits(B: int, H: int) -> bool:
+    return _infer_unroll(B, H) > 0
 
 
 def lstm_seq_fused_infer(xw, mask, wh, h0, c0):
