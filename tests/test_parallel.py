@@ -189,3 +189,66 @@ def test_dp_step_runs_multiple_steps():
                            jnp.float32(1.0), jnp.float32(1.0))
         losses.append(float(aux[0]) / float(aux[3]))
     assert losses[-1] < losses[0]
+
+
+def _emulated_dp_image_loss(loss_fn, n_shards: int):
+    """Image-batch ((probs, row_weight)) variant of _emulated_dp_loss."""
+    def wrapped(params, key, batch, kl_weight):
+        probs, rw = batch
+        S = probs.shape[0] // n_shards
+        n_global = jnp.maximum(rw.sum(), 1.0)
+        total, sums = 0.0, None
+        for s in range(n_shards):
+            sl = slice(s * S, (s + 1) * S)
+            k_s = jax.random.fold_in(key, s)
+            _, aux = loss_fn(params, k_s, (probs[sl], rw[sl]), kl_weight)
+            total = total + aux[0] / n_global
+            sums = aux if sums is None else jax.tree.map(jnp.add, sums, aux)
+        return total, sums
+    return wrapped
+
+
+@pytest.mark.slow
+def test_dp_fused_epoch_matches_single_device_image():
+    """The IMAGE stack (ResNet + PixelCNN, in-graph dynamic binarization)
+    under the same shard_map fused epoch: exact single-device equivalence
+    with matching per-shard keys — the binarization draw is keyed per
+    shard, so the oracle must replay the same folds."""
+    import jax.numpy as jnp
+    from vae_lagging_encoder_tpu.config import get_config as gc
+    from vae_lagging_encoder_tpu.data.pool import ImagePool
+    from vae_lagging_encoder_tpu.models import build_image_vae
+    from vae_lagging_encoder_tpu.train import make_train_epoch
+    from vae_lagging_encoder_tpu.train.epoch import make_image_loss_fn
+
+    cfg = gc("omniglot", nz=2, enc_layers=(4, 6), dec_layers=2,
+             dec_filters=8, dec_kernel_size=3, batch_size=16, warm_up=1,
+             burn_max_iters=2, burn_window=1, optim="sgd", lr=0.1)
+    rng = np.random.RandomState(3)
+    imgs = rng.rand(64, 28, 28, 1).astype(np.float32)
+    vae = build_image_vae(cfg)
+    params = vae.init(jax.random.PRNGKey(0))
+    loss_fn = make_image_loss_fn(vae, train=True)
+
+    def run(mesh, lf):
+        pool = ImagePool(imgs, cfg.batch_size)
+        if mesh is not None:
+            pool.shard(mesh)
+        epoch_fn, opt_init = make_train_epoch(vae, pool, cfg, loss_fn=lf,
+                                              mesh=mesh)
+        p = jax.tree.map(jnp.copy, params)
+        order = jnp.arange(pool.num_batches, dtype=jnp.int32)
+        return epoch_fn(p, opt_init(p), jax.random.PRNGKey(7),
+                        jnp.float32(0.5), jnp.float32(cfg.lr), order,
+                        aggressive=True)
+
+    p1, _, klw1, sums1, ii1 = run(None, _emulated_dp_image_loss(loss_fn, 8))
+    p8, _, klw8, sums8, ii8 = run(make_mesh(8), loss_fn)
+    assert float(klw1) == float(klw8)
+    assert int(ii1) == int(ii8) and int(ii8) > 0
+    for a, b in zip(sums1, sums8):
+        # atol floor: the near-zero KL sum picks up f32 reduction-order
+        # noise from psum vs the oracle's sequential adds
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

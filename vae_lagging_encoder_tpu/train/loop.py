@@ -59,6 +59,12 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
         # and run the fused epoch under shard_map with psum'd grads.
         from ..parallel import make_mesh
 
+        if cfg.batch_size % cfg.dp_devices:
+            raise SystemExit(
+                f"--batch_size {cfg.batch_size} must be divisible by "
+                f"--dp_devices {cfg.dp_devices} (the batch dim is sharded "
+                f"over the mesh; e.g. omniglot's default 50 needs 48 or 56 "
+                f"on an 8-chip mesh)")
         mesh = make_mesh(cfg.dp_devices)
         train_pool.shard(mesh)
         log.info(f"[parallel] DP over mesh {dict(mesh.shape)}; pool batch-sharded")
