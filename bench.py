@@ -14,10 +14,11 @@ first (compile) epoch is excluded.
 
 Baseline: the PyTorch reference's measured throughput is NOT available
 (BASELINE.json.published is empty and /root/reference was an empty mount —
-see SURVEY.md caveat). ``vs_baseline`` therefore divides by a documented
-reconstruction: ~20 steps/s for cuDNN-LSTM fwd+bwd at this config on the
-paper-era single GPU (V100-class, ~200 GFLOP/step at ~4-5 TFLOP/s
-effective). Re-verify when the reference becomes runnable.
+see SURVEY.md caveat). ``vs_baseline`` therefore divides by ~20 steps/s,
+the OPTIMISTIC end of an explicit V100 roofline model of the reference
+(612 GF/step fp32; cuDNN LSTM latency-bound at B=32 → 9–18 steps/s —
+full derivation in BASELINE.md "Throughput baseline"). Re-verify when the
+reference becomes runnable.
 """
 from __future__ import annotations
 
