@@ -12,10 +12,12 @@ Parity: <ref>modules/decoders/dec_lstm.py §LSTMDecoder (SURVEY.md §2):
 TPU-first notes:
 - the input projection (incl. the z concat) is hoisted into one MXU matmul
   (lstm_core.lstm_run);
-- the big [N*T, nh] @ [nh, V] logit matmul + CE runs as one fused batched
-  op; for the 500-sample IW evaluation the z-sample axis is processed in
-  ``lax.map`` chunks under ``jax.checkpoint`` so peak HBM stays bounded
-  (SURVEY.md §7 hard part 4);
+- the vocab projection + CE runs as the fused Pallas kernel
+  (ops/ce_pallas.py): online logsumexp over streamed vocab tiles, so the
+  [N*T, V] logits tensor never exists in HBM (an XLA log_softmax path
+  remains for off-tile shapes); for the 500-sample IW evaluation the
+  z-sample axis is processed in ``lax.map`` chunks under
+  ``jax.checkpoint`` so peak HBM stays bounded (SURVEY.md §7 hard part 4);
 - greedy/sampling decode loops are on-device ``lax.fori_loop``s with static
   max length; beam search stays host-side (parity with the reference's
   host loops, off the training path — SURVEY.md §7 hard part 7).
