@@ -68,9 +68,14 @@ class PixelCNNDecoderV2(DecoderBase):
                            preferred_element_type=jnp.float32)
             h = masked_conv2d(h, layer["w"].astype(self.compute_dtype),
                               include_center=(i > 0))
-            h = jax.nn.elu(h + layer["b"] + cond[:, None, None, :])
-        out = masked_conv2d(h, params["out_w"], include_center=True)
-        return (out + params["out_b"]).astype(jnp.float32)
+            # bias/cond add + ELU in f32 (free — XLA fuses the casts into
+            # the conv epilogue), back to compute_dtype for the next conv.
+            h = jax.nn.elu(h.astype(jnp.float32) + layer["b"]
+                           + cond[:, None, None, :]).astype(self.compute_dtype)
+        # 1x1 output conv in f32: negligible FLOPs, keeps logits exact.
+        out = masked_conv2d(h.astype(jnp.float32), params["out_w"],
+                            include_center=True)
+        return out + params["out_b"]
 
     def decode(self, params, x: jnp.ndarray, z: jnp.ndarray,
                key=None, train: bool = False) -> jnp.ndarray:

@@ -41,4 +41,5 @@ def causal_mask(kh: int, kw: int, cin: int, cout: int,
 def masked_conv2d(x: jnp.ndarray, w: jnp.ndarray,
                   include_center: bool) -> jnp.ndarray:
     kh, kw, cin, cout = w.shape
-    return conv2d(x, w * causal_mask(kh, kw, cin, cout, include_center))
+    mask = causal_mask(kh, kw, cin, cout, include_center).astype(w.dtype)
+    return conv2d(x, w * mask)
