@@ -53,6 +53,8 @@ def main():
         ax.tick_params(labelsize=6)
 
     labels = args.labels.split(",")
+    if len(labels) < len(traces):  # pad so a short --labels never IndexErrors
+        labels += [f"trace {i}" for i in range(len(labels), len(traces))]
     if args.gif:
         import matplotlib.animation as anim
 

@@ -198,9 +198,10 @@ class TestFusedCE:
 
 
 def test_wide_batch_inference_routing_matches_scan():
-    """B > 128 no-grad calls route through the row-chunked inference kernel
-    (ops/lstm_pallas.py::lstm_seq_fused_infer) — outputs and final carries
-    must match the scan path, including with row padding (B=136 -> 2x72)."""
+    """B > 128 no-grad calls route through the inference kernel
+    (ops/lstm_pallas.py::lstm_seq_fused_infer, which shrinks its timestep
+    unroll to fit wide batches in VMEM) — outputs and final carries must
+    match the scan path, including when T needs padding to the unroll."""
     rng = np.random.RandomState(9)
     B_, T_, NI_ = 136, 12, 24
     params = {"wx": jnp.asarray(rng.uniform(-0.1, 0.1, (NI_, 4 * H)).astype(np.float32)),

@@ -79,6 +79,21 @@ class Pool:
             branches.append(branch)
         return jax.lax.switch(bucket, branches, idx)
 
+    # --- flat-leaf view (for passing stacks through shard_map) --------
+    def flat_leaves(self) -> List[jnp.ndarray]:
+        """All per-bucket stacks as one flat list (shard_map arguments)."""
+        return [a for arrs in self.arrays for a in arrs]
+
+    def rebuild(self, leaves: Sequence[jnp.ndarray]) -> List[Tuple[jnp.ndarray, ...]]:
+        """Inverse of ``flat_leaves``: regroup into per-bucket tuples, in
+        the layout ``switch(..., arrays=...)`` expects."""
+        sizes = [len(arrs) for arrs in self.arrays]
+        out, k = [], 0
+        for n in sizes:
+            out.append(tuple(leaves[k:k + n]))
+            k += n
+        return out
+
     # --- data parallelism over a mesh ---------------------------------
     def batch_specs(self, axis: str = "dp"):
         """PartitionSpecs sharding every stacked array's BATCH dim (dim 1)

@@ -85,10 +85,12 @@ def lstm_run(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
     any caller consumes (decoder is unmasked; encoder uses only the carry).
 
     inference=True marks a no-grad call: batches wider than the training
-    kernel's limit (IW evaluation runs B·iw_chunk rows, SURVEY.md §3.3) are
-    row-chunked through the residual-free inference kernel instead of
-    falling back to scan. That path has NO VJP — gradients through it
-    error loudly; callers pass inference only from no-grad eval paths.
+    kernel's limit (IW evaluation runs B·iw_chunk rows, SURVEY.md §3.3) go
+    through the residual-free inference kernel, which shrinks its timestep
+    unroll to fit the wider batch in VMEM (row-chunking was measured and
+    lost to scan — RESULTS.md); widths beyond even UNROLL=1 fall back to
+    scan. That path has NO VJP — gradients through it error loudly;
+    callers pass inference only from no-grad eval paths.
     """
     B, T, _ = x.shape
     H = params["wh"].shape[0]

@@ -226,6 +226,11 @@ def lstm_seq_fused_infer(xw, mask, wh, h0, c0):
     T, B, H4 = xw.shape
     H = H4 // 4
     U = _infer_unroll(B, H)
+    if U == 0:
+        raise ValueError(
+            f"lstm_seq_fused_infer: B={B}, H={H} exceeds the VMEM budget "
+            f"even at unroll=1 (needs B*5H*8 <= {48 * 1024 * 1024} bytes); "
+            "gate calls with infer_kernel_fits(B, H) and fall back to scan")
     T_pad = -(-T // U) * U
     xw = _pad_T(xw, T_pad)
     mask = _pad_T(_mask128(mask), T_pad)

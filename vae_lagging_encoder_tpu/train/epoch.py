@@ -127,19 +127,11 @@ def make_train_epoch(vae: VAE, pool: BucketedPool, cfg,
     flat_idx = jnp.asarray(flat_idx)
     anneal_rate = (1.0 - cfg.kl_start) / (cfg.warm_up * pool.num_batches)
 
-    arr_leaves = [a for arrs in pool.arrays for a in arrs]
-    arr_sizes = [len(arrs) for arrs in pool.arrays]
-
-    def _rebuild(leaves):
-        out, k = [], 0
-        for n in arr_sizes:
-            out.append(tuple(leaves[k:k + n]))
-            k += n
-        return out
+    arr_leaves = pool.flat_leaves()
 
     def epoch_core(params, opt_state, key, kl_weight, lr, order,
                    *arr_flat, aggressive: bool):
-        local_arrays = _rebuild(list(arr_flat)) if arr_flat else None
+        local_arrays = pool.rebuild(list(arr_flat)) if arr_flat else None
 
         def body(i, state):
             params, opt_state, key, kl_weight, sums, inner_iters = state
@@ -256,18 +248,10 @@ def make_pool_reducer(pool: BucketedPool, batch_fn: Callable, init,
 
     n_dev = mesh.shape[axis]
     per = -(-n // n_dev)
-    arr_leaves = [a for arrs in pool.arrays for a in arrs]
-    arr_sizes = [len(arrs) for arrs in pool.arrays]
-
-    def _rebuild(leaves):
-        out, k = [], 0
-        for m in arr_sizes:
-            out.append(tuple(leaves[k:k + m]))
-            k += m
-        return out
+    arr_leaves = pool.flat_leaves()
 
     def reduce_core(params, key, *arr_flat):
-        local_arrays = _rebuild(list(arr_flat))
+        local_arrays = pool.rebuild(list(arr_flat))
         d = jax.lax.axis_index(axis)
 
         def body(j, acc):
