@@ -219,6 +219,67 @@ def test_resume_continues_training(tmp_path):
 
 
 @pytest.mark.slow
+def test_midepoch_autosave_resume_is_exact(tmp_path):
+    """A run killed mid-epoch and resumed from the periodic autosave must
+    reproduce the uninterrupted run EXACTLY (params, results) — the
+    fault-tolerance path (SURVEY.md §5 'restart-from-step')."""
+    from vae_lagging_encoder_tpu.train import train_text
+    from vae_lagging_encoder_tpu.train.loop import (load_text_datasets,
+                                                    run_training)
+    from vae_lagging_encoder_tpu.utils.exp_utils import Logger
+
+    root = tmp_path / "data"
+    root.mkdir()
+    sents, topics = generate_synthetic_corpus(num_sentences=152, vocab_size=25,
+                                              min_len=4, max_len=14, seed=13)
+    for split, sl in {"train": slice(0, 112), "valid": slice(112, 132),
+                      "test": slice(132, 152)}.items():
+        with open(root / f"{split}.txt", "w") as fh:
+            for t, s in zip(topics[sl], sents[sl]):
+                fh.write(f"{t}\t" + " ".join(s) + "\n")
+
+    def make(run_dir):
+        cfg = tiny_cfg(train_data=str(root / "train.txt"),
+                       val_data=str(root / "valid.txt"),
+                       test_data=str(root / "test.txt"), epochs=3,
+                       aggressive=True, burn_max_iters=4, burn_window=2,
+                       epoch_segment=2, autosave_niter=1,
+                       save_path=str(run_dir / "m.ckpt"))
+        train, val, test = load_text_datasets(cfg)
+        mk = lambda d: BucketedPool(d.create_data_batch(cfg.batch_size,
+                                                        cfg.length_buckets))
+        vae = build_text_vae(cfg, len(train.vocab))
+        params = vae.init(jax.random.PRNGKey(cfg.seed))
+        return cfg, vae, params, mk(train), mk(val), mk(test)
+
+    # oracle: uninterrupted run
+    d1 = tmp_path / "full"; d1.mkdir()
+    cfg, vae, params, tr, va, te = make(d1)
+    full = run_training(cfg, vae, params, tr, va, te, Logger())
+
+    # interrupted at a mid-epoch segment (7 batches/epoch, segments of 2:
+    # 4 per epoch -> stopping after 5 is inside epoch 1), then resumed
+    d2 = tmp_path / "resumed"; d2.mkdir()
+    cfg2, vae2, params2, tr2, va2, te2 = make(d2)
+    r = run_training(cfg2, vae2, params2, tr2, va2, te2, Logger(),
+                     _stop_after_segments=5)
+    assert r.get("interrupted") and os.path.exists(r["autosave_path"])
+    auto_params, extra = load_checkpoint(r["autosave_path"])
+    assert extra["mid_epoch"]["epoch"] == 1  # really mid-epoch
+    resumed = run_training(cfg2, vae2, jax.tree.map(jnp.asarray, auto_params),
+                           tr2, va2, te2, Logger(), resume_state=extra)
+
+    assert resumed["best_val_loss"] == pytest.approx(full["best_val_loss"],
+                                                     abs=1e-6)
+    for k in ("elbo_loss", "iw_nll", "mi"):
+        assert resumed[k] == pytest.approx(full[k], abs=1e-5), k
+    p_full, _ = load_checkpoint(cfg.save_path)
+    p_res, _ = load_checkpoint(cfg2.save_path)
+    for a, b in zip(jax.tree.leaves(p_full), jax.tree.leaves(p_res)):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_train_text_end_to_end(tmp_path):
     """Full lifecycle smoke: plain + aggressive, 2 epochs, tiny data."""
     from vae_lagging_encoder_tpu.train import train_text

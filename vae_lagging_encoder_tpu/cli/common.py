@@ -52,6 +52,10 @@ def build_parser(default_dataset: str = "yahoo") -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace of one epoch here")
     p.add_argument("--epoch_segment", type=int, default=None,
                    help="max batches per device dispatch (0 = whole epoch)")
+    p.add_argument("--autosave_niter", type=int, default=None,
+                   help="fault-tolerance autosave every N steps to "
+                        "<save_path>.auto; --resume restarts mid-epoch "
+                        "(0 = off)")
     p.add_argument("--train_data", type=str, default=None)
     p.add_argument("--val_data", type=str, default=None)
     p.add_argument("--test_data", type=str, default=None)

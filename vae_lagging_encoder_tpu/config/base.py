@@ -92,6 +92,12 @@ class ExperimentConfig:
     # reference-style intra-epoch progress.
     epoch_segment: int = 32
     dp_devices: int = 1              # data-parallel shards over the mesh
+    # periodic fault-tolerance autosave every N training steps to
+    # <save_path>.auto, incl. mid-epoch position — --resume restarts from
+    # the exact segment boundary (SURVEY.md §5 failure-detection rebuild
+    # note: "restart-from-step"). 0 = off (reference-parity behavior:
+    # best-val checkpoints only).
+    autosave_niter: int = 0
 
     def replace(self, **kw) -> "ExperimentConfig":
         return dataclasses.replace(self, **kw)

@@ -16,6 +16,7 @@ share the same driver, differing only in data pools, the loss adapter
 from __future__ import annotations
 
 import math
+import os
 import time
 from typing import Callable, Dict, Optional
 
@@ -48,7 +49,8 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
                  test_pool, log: Logger, loss_fn: Callable | None = None,
                  eval_loss_fn: Callable | None = None,
                  prep: Callable = _unpack,
-                 resume_state: Optional[Dict] = None) -> Dict:
+                 resume_state: Optional[Dict] = None,
+                 _stop_after_segments: Optional[int] = None) -> Dict:
     """The shared lifecycle (see module docstring)."""
     if cfg.resume and not cfg.load_path:
         raise SystemExit("--resume requires --load_path (a checkpoint to "
@@ -88,6 +90,9 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
     decay_cnt = 0
     not_improved = 0
     start_epoch = 0
+    resume_mid = None
+    save_path = cfg.save_path or f"models/{cfg.dataset}/model.ckpt"
+    autosave_path = save_path + ".auto"
     if resume_state:
         # full mid-training resume — beyond the reference's best-params-only
         # checkpoints (SURVEY.md §5 checkpoint rebuild note)
@@ -100,17 +105,29 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
                                            .get("loss", best_loss)))
         decay_cnt = int(resume_state.get("decay_cnt", 0))
         not_improved = int(resume_state.get("not_improved", 0))
-        start_epoch = int(resume_state.get("epoch", -1)) + 1
+        resume_mid = resume_state.get("mid_epoch")
+        if resume_mid:
+            # periodic autosave: re-enter the SAME epoch at the segment
+            # boundary after the save ("restart-from-step", SURVEY.md §5)
+            start_epoch = int(resume_mid["epoch"])
+            if math.isfinite(best_loss) and os.path.exists(save_path):
+                # the autosaved params are the CURRENT ones, not the best;
+                # rollback-to-best must use the best-val checkpoint on disk
+                best_params, _ = load_checkpoint(save_path)
+        else:
+            start_epoch = int(resume_state.get("epoch", -1)) + 1
         if "opt_state" in resume_state:
             # restore Adam moments / SGD velocity; without this, optimizers
             # with state silently reset on resume (ADVICE.md round 1)
             opt_state = jax.tree.map(jnp.asarray, resume_state["opt_state"])
-        log.info(f"[resume] from epoch {start_epoch} (kl_weight {kl_weight:.4f}, "
-                 f"lr {lr:.4f}, aggressive {aggressive})")
+        log.info(f"[resume] from epoch {start_epoch}"
+                 + (f" step {int(resume_mid['global_step'])}" if resume_mid
+                    else "")
+                 + f" (kl_weight {kl_weight:.4f}, lr {lr:.4f}, "
+                 f"aggressive {aggressive})")
     rng = np.random.RandomState(cfg.seed)
     for _ in range(start_epoch):  # keep the shuffle stream aligned
         rng.permutation(train_pool.num_batches)
-    save_path = cfg.save_path or f"models/{cfg.dataset}/model.ckpt"
     history = []
     log.info(f"[train] {cfg.epochs} epochs, {train_pool.num_batches} "
              f"batches/epoch, aggressive={aggressive}")
@@ -127,6 +144,12 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
     global_step = start_epoch * train_pool.num_batches
     report = tuple(0.0 for _ in range(5))
     steps_since_log = 0
+    if resume_mid:
+        global_step = int(resume_mid["global_step"])
+        report = tuple(float(x) for x in resume_mid["report"])
+        steps_since_log = int(resume_mid["steps_since_log"])
+    last_autosave_step = global_step
+    segments_run = 0
     t_start = time.time()
 
     for epoch in range(start_epoch, cfg.epochs):
@@ -140,8 +163,15 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
             jax.profiler.start_trace(cfg.profile_dir)
         sums = tuple(0.0 for _ in range(5))
         inner_iters = 0
+        seg_skip_before = 0
+        if resume_mid and epoch == start_epoch:
+            sums = tuple(float(x) for x in resume_mid["sums"])
+            inner_iters = int(resume_mid["inner_iters"])
+            seg_skip_before = int(resume_mid["next_start"])
         kl_w_new = jnp.float32(kl_weight)
         for s, start in enumerate(range(0, len(order), seg)):
+            if start < seg_skip_before:
+                continue  # segments already trained before the autosave
             chunk = jnp.asarray(order[start:start + seg])
             params, opt_state, kl_w_new, seg_sums, seg_inner = epoch_fn(
                 params, opt_state, jax.random.fold_in(k_epoch, s), kl_w_new,
@@ -164,6 +194,33 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
                          f"{float(kl_w_new):.4f}, time {time.time() - t_start:.1f}s")
                 report = tuple(0.0 for _ in range(5))
                 steps_since_log = 0
+            # --- periodic fault-tolerance autosave (SURVEY.md §5:
+            # "restart-from-step") — full state incl. mid-epoch position;
+            # atomic write, so a crash never leaves a torn autosave.
+            if (cfg.autosave_niter
+                    and global_step - last_autosave_step >= cfg.autosave_niter):
+                last_autosave_step = global_step
+                save_checkpoint(autosave_path, to_host(params), {
+                    "opt_state": to_host(opt_state),
+                    "epoch": epoch - 1, "kl_weight": float(kl_w_new),
+                    "lr": lr, "aggressive": aggressive, "pre_mi": pre_mi,
+                    "best_loss": best_loss, "decay_cnt": decay_cnt,
+                    "not_improved": not_improved, "dataset": cfg.dataset,
+                    "mid_epoch": {
+                        "epoch": epoch,
+                        "next_start": start + int(chunk.shape[0]),
+                        "sums": list(sums), "inner_iters": int(inner_iters),
+                        "report": list(report),
+                        "steps_since_log": steps_since_log,
+                        "global_step": global_step,
+                    },
+                })
+            segments_run += 1
+            if (_stop_after_segments is not None
+                    and segments_run >= _stop_after_segments):
+                # test hook: simulate a crash right after this segment
+                log.info(f"[stop] after {segments_run} segments (test hook)")
+                return {"interrupted": True, "autosave_path": autosave_path}
         if profiling:
             jax.block_until_ready(kl_w_new)
             jax.profiler.stop_trace()
