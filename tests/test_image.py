@@ -102,6 +102,23 @@ def test_pixelcnn_sampling():
     assert set(np.unique(img)).issubset({0.0, 1.0})
 
 
+def test_incremental_sampler_matches_dense_logits():
+    """The cached incremental generator (per-pixel window dots) must emit
+    the SAME per-pixel logits as the dense full-canvas forward when
+    teacher-forced on a fixed image — the fast-sampling correctness oracle
+    (masks folded into kernels make it exact by construction)."""
+    cfg = small_cfg()
+    vae, params = small_vae(cfg)
+    rng = np.random.RandomState(7)
+    x = jnp.asarray((rng.rand(3, 28, 28, 1) > 0.5).astype(np.float32))
+    z = jnp.asarray(rng.randn(3, cfg.nz).astype(np.float32))
+    dec = vae.decoder
+    dense = dec._logits(params["dec"], x, z)
+    _, inc = dec._incremental_pixels(params["dec"], z, jax.random.PRNGKey(0),
+                                     force_image=x)
+    np.testing.assert_allclose(np.asarray(inc), np.asarray(dense), atol=1e-5)
+
+
 def test_bfloat16_image_stack_matches_f32():
     """compute_dtype=bfloat16 must compile (mask/bias adds must not promote
     activations back to f32 mid-stack) and agree closely with f32 — summed

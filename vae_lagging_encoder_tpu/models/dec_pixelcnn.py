@@ -121,9 +121,98 @@ class PixelCNNDecoderV2(DecoderBase):
         return -self.reconstruct_error(params, x, mask, z)
 
     # ------------------------------------------------------------------
-    def sample(self, params, key, z_flat: jnp.ndarray) -> jnp.ndarray:
+    def _incremental_pixels(self, params, z_flat: jnp.ndarray, key,
+                            force_image: Optional[jnp.ndarray] = None):
+        """Cache-based raster generation (fast PixelCNN sampling in the
+        spirit of Ramachandran et al. 2017, arXiv:1704.06001): per pixel,
+        compute each layer's activation only AT that pixel from a cached
+        window of earlier activations, instead of a full-canvas forward.
+        Exact by construction: the causal masks are folded into the
+        kernels, so the (zero-initialized) not-yet-written window positions
+        carry zero weight — per-pixel logits equal the dense ``_logits``.
+
+        ``force_image`` teacher-forces the written pixels (oracle tests);
+        otherwise pixels are Bernoulli samples. Returns
+        ``(canvas [N,H,W,C], logits [N,H,W,C])``.
+        """
+        from ..ops.conv import causal_mask
+
+        N = z_flat.shape[0]
+        H, W, C = self.img_size
+        L = self.n_layers
+        ks = [self.first_kernel] + [self.kernel] * (L - 1)
+        margins = [k // 2 for k in ks]
+        cd = self.compute_dtype
+
+        layers = params["layers"]
+        kernels, conds, biases = [], [], []
+        for i, (layer, k) in enumerate(zip(layers, ks)):
+            kh, kw, cin, cout = layer["w"].shape
+            w = layer["w"] * causal_mask(kh, kw, cin, cout,
+                                         include_center=(i > 0))
+            kernels.append(w.reshape(kh * kw * cin, cout).astype(cd))
+            conds.append(jnp.dot(z_flat, layer["wz"],
+                                 preferred_element_type=jnp.float32))
+            biases.append(layer["b"])
+        out_w = params["out_w"][0, 0]  # 1x1 conv, mask B keeps the center
+
+        # canvases[l] = input to layer l, padded by that layer's margin;
+        # canvases[L] = last hidden (read by the unpadded 1x1 out conv).
+        widths = [C] + [self.filters] * L
+        pads = margins + [0]
+        canvases = tuple(
+            jnp.zeros((N, H + 2 * p, W + 2 * p, c), jnp.float32)
+            for p, c in zip(pads, widths))
+        logits_canvas = jnp.zeros((N, H, W, C), jnp.float32)
+
+        def body(p, carry):
+            canvases, logits_canvas = carry
+            i, j = p // W, p % W
+            h = None
+            canvases = list(canvases)
+            for l in range(L):
+                win = jax.lax.dynamic_slice(
+                    canvases[l], (0, i, j, 0), (N, ks[l], ks[l], widths[l]))
+                acc = jnp.dot(win.reshape(N, -1).astype(cd), kernels[l],
+                              preferred_element_type=jnp.float32)
+                h = jax.nn.elu(acc + biases[l] + conds[l])
+                m_next = pads[l + 1]
+                canvases[l + 1] = jax.lax.dynamic_update_slice(
+                    canvases[l + 1], h[:, None, None, :].astype(jnp.float32),
+                    (0, i + m_next, j + m_next, 0))
+            logit = (jnp.dot(h, out_w, preferred_element_type=jnp.float32)
+                     + params["out_b"])
+            logits_canvas = jax.lax.dynamic_update_slice(
+                logits_canvas, logit[:, None, None, :], (0, i, j, 0))
+            if force_image is not None:
+                pix = jax.lax.dynamic_slice(force_image, (0, i, j, 0),
+                                            (N, 1, 1, C))[:, 0, 0, :]
+            else:
+                pix = jax.random.bernoulli(
+                    jax.random.fold_in(key, p),
+                    jax.nn.sigmoid(logit)).astype(jnp.float32)
+            m0 = pads[0]
+            canvases[0] = jax.lax.dynamic_update_slice(
+                canvases[0], pix[:, None, None, :], (0, i + m0, j + m0, 0))
+            return tuple(canvases), logits_canvas
+
+        canvases, logits_canvas = jax.lax.fori_loop(
+            0, H * W, body, (canvases, logits_canvas))
+        m0 = pads[0]
+        canvas = canvases[0][:, m0:m0 + H, m0:m0 + W, :]
+        return canvas, logits_canvas
+
+    def sample(self, params, key, z_flat: jnp.ndarray,
+               fast: bool = True) -> jnp.ndarray:
         """Autoregressive pixel-by-pixel generation: z [N, nz] → binary
-        images [N, H, W, C]. <ref>dec_pixelcnn_v2.py §decode."""
+        images [N, H, W, C]. <ref>dec_pixelcnn_v2.py §decode.
+
+        ``fast=True`` (default) uses the cached incremental generator
+        (one small window-dot per layer per pixel); ``fast=False`` runs
+        the reference-shaped full-canvas forward per pixel (the oracle)."""
+        if fast:
+            canvas, _ = self._incremental_pixels(params, z_flat, key)
+            return canvas
         N = z_flat.shape[0]
         H, W, C = self.img_size
         canvas = jnp.zeros((N, H, W, C))
