@@ -215,6 +215,43 @@ def test_complete_ll_and_mi_q_shapes():
     assert np.isfinite(float(mi))
 
 
+def test_prior_kl_and_reconstruct():
+    """Direct coverage for VAE.eval_prior_dist / sample_from_prior / KL /
+    reconstruct (<ref>vae.py method set)."""
+    from scipy.stats import multivariate_normal
+
+    vae, params = tiny_vae()
+    rng = np.random.RandomState(21)
+    # eval_prior_dist == standard-normal logpdf
+    z = jnp.asarray(rng.randn(5, NZ).astype(np.float32))
+    ref = multivariate_normal(np.zeros(NZ), np.eye(NZ)).logpdf(np.asarray(z))
+    np.testing.assert_allclose(np.asarray(vae.eval_prior_dist(z)), ref,
+                               rtol=1e-5)
+    # sample_from_prior: unit-Gaussian moments at large n
+    zs = np.asarray(vae.sample_from_prior(jax.random.PRNGKey(0), 20_000))
+    assert zs.shape == (20_000, NZ)
+    assert abs(zs.mean()) < 0.02 and abs(zs.var() - 1.0) < 0.05
+    # KL equals the loss()'s analytic KL term
+    toks, mask, w = rand_batch(rng)
+    kl = vae.KL(params, toks, mask)
+    _, _, kl_from_loss = vae.loss(params, jax.random.PRNGKey(1), toks, mask,
+                                  kl_weight=1.0, train=False)
+    np.testing.assert_allclose(np.asarray(kl), np.asarray(kl_from_loss),
+                               rtol=1e-5)
+    # reconstruct: all three decoding strategies produce valid outputs
+    out = np.asarray(vae.reconstruct(params, jax.random.PRNGKey(2), toks,
+                                     mask, "greedy", max_len=10))
+    assert out.shape == (B, 10)
+    samp = np.asarray(vae.reconstruct(params, jax.random.PRNGKey(3), toks,
+                                      mask, "sample", max_len=10))
+    assert samp.shape == (B, 10)
+    beams = vae.reconstruct(params, jax.random.PRNGKey(4), toks[:2], mask[:2],
+                            "beam", max_len=8)
+    assert len(beams) == 2 and all(b[0] == BOS_ID for b in beams)
+    with pytest.raises(ValueError):
+        vae.reconstruct(params, jax.random.PRNGKey(5), toks, mask, "nope")
+
+
 def test_generation():
     vae, params = tiny_vae()
     z = jnp.asarray(np.random.RandomState(10).randn(4, NZ).astype(np.float32))
