@@ -107,16 +107,18 @@ def test_incremental_sampler_matches_dense_logits():
     the SAME per-pixel logits as the dense full-canvas forward when
     teacher-forced on a fixed image — the fast-sampling correctness oracle
     (masks folded into kernels make it exact by construction)."""
-    cfg = small_cfg()
-    vae, params = small_vae(cfg)
     rng = np.random.RandomState(7)
     x = jnp.asarray((rng.rand(3, 28, 28, 1) > 0.5).astype(np.float32))
-    z = jnp.asarray(rng.randn(3, cfg.nz).astype(np.float32))
-    dec = vae.decoder
-    dense = dec._logits(params["dec"], x, z)
-    _, inc = dec._incremental_pixels(params["dec"], z, jax.random.PRNGKey(0),
-                                     force_image=x)
-    np.testing.assert_allclose(np.asarray(inc), np.asarray(dense), atol=1e-5)
+    for dt, atol in (("float32", 1e-5), ("bfloat16", 0.05)):
+        cfg = small_cfg(compute_dtype=dt)
+        vae, params = small_vae(cfg)
+        z = jnp.asarray(rng.randn(3, cfg.nz).astype(np.float32))
+        dec = vae.decoder
+        dense = dec._logits(params["dec"], x, z)
+        _, inc = dec._incremental_pixels(params["dec"], z,
+                                         jax.random.PRNGKey(0), force_image=x)
+        np.testing.assert_allclose(np.asarray(inc), np.asarray(dense),
+                                   atol=atol, err_msg=dt)
 
 
 def test_bfloat16_image_stack_matches_f32():

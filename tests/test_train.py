@@ -223,7 +223,6 @@ def test_midepoch_autosave_resume_is_exact(tmp_path):
     """A run killed mid-epoch and resumed from the periodic autosave must
     reproduce the uninterrupted run EXACTLY (params, results) — the
     fault-tolerance path (SURVEY.md §5 'restart-from-step')."""
-    from vae_lagging_encoder_tpu.train import train_text
     from vae_lagging_encoder_tpu.train.loop import (load_text_datasets,
                                                     run_training)
     from vae_lagging_encoder_tpu.utils.exp_utils import Logger

@@ -9,9 +9,11 @@ forward (training never runs sequentially); pixel-by-pixel autoregressive
 ``decode`` only for sampling.
 
 TPU notes: masks are folded into weights at trace time (ops/conv.py), so
-training is a stack of dense MXU convs. Sampling is a ``lax.fori_loop``
-over the 784 pixels with a full-canvas forward per step (fine — it's off
-the metric path; SURVEY.md §7 hard part 6).
+training is a stack of dense MXU convs. Sampling defaults to cache-based
+incremental generation — one small window-dot per layer per pixel inside
+a ``lax.fori_loop`` (arXiv:1704.06001 idea; 5.6× over the full-canvas-
+per-pixel path, which remains available as ``sample(..., fast=False)``
+and serves as the correctness oracle).
 """
 from __future__ import annotations
 
@@ -175,6 +177,10 @@ class PixelCNNDecoderV2(DecoderBase):
                     canvases[l], (0, i, j, 0), (N, ks[l], ks[l], widths[l]))
                 acc = jnp.dot(win.reshape(N, -1).astype(cd), kernels[l],
                               preferred_element_type=jnp.float32)
+                # match the dense path bit-for-bit: its convs emit
+                # compute_dtype outputs, so under bf16 the accumulator is
+                # rounded to bf16 before the f32 bias/cond/ELU epilogue
+                acc = acc.astype(cd).astype(jnp.float32)
                 h = jax.nn.elu(acc + biases[l] + conds[l])
                 m_next = pads[l + 1]
                 canvases[l + 1] = jax.lax.dynamic_update_slice(

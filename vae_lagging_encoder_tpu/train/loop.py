@@ -110,9 +110,17 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
             # periodic autosave: re-enter the SAME epoch at the segment
             # boundary after the save ("restart-from-step", SURVEY.md §5)
             start_epoch = int(resume_mid["epoch"])
-            if math.isfinite(best_loss) and os.path.exists(save_path):
+            if math.isfinite(best_loss):
                 # the autosaved params are the CURRENT ones, not the best;
                 # rollback-to-best must use the best-val checkpoint on disk
+                if not os.path.exists(save_path):
+                    raise SystemExit(
+                        f"mid-epoch resume: a best-val checkpoint exists for "
+                        f"this run (best_loss {best_loss:.4f}) but "
+                        f"{save_path!r} is missing — LR-decay rollback and "
+                        f"the final eval would silently use non-best params. "
+                        f"Restore the best checkpoint or pass its "
+                        f"--save_path.")
                 best_params, _ = load_checkpoint(save_path)
         else:
             start_epoch = int(resume_state.get("epoch", -1)) + 1
@@ -168,6 +176,17 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
             sums = tuple(float(x) for x in resume_mid["sums"])
             inner_iters = int(resume_mid["inner_iters"])
             seg_skip_before = int(resume_mid["next_start"])
+            # the skip is by batch offset, so the resume's segment grid must
+            # line up with the autosave's, else untrained batches would be
+            # silently dropped (epoch_segment/log_niter both change `seg`)
+            if (seg_skip_before % seg != 0
+                    and seg_skip_before != train_pool.num_batches):
+                raise SystemExit(
+                    f"mid-epoch resume: autosave position "
+                    f"{seg_skip_before} is not a boundary of the current "
+                    f"segmentation (seg={seg}; autosave was written with "
+                    f"seg={resume_mid.get('seg', '?')}) — resume with the "
+                    f"same --epoch_segment/--log_niter as the saved run.")
         kl_w_new = jnp.float32(kl_weight)
         for s, start in enumerate(range(0, len(order), seg)):
             if start < seg_skip_before:
@@ -207,7 +226,7 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
                     "best_loss": best_loss, "decay_cnt": decay_cnt,
                     "not_improved": not_improved, "dataset": cfg.dataset,
                     "mid_epoch": {
-                        "epoch": epoch,
+                        "epoch": epoch, "seg": seg,
                         "next_start": start + int(chunk.shape[0]),
                         "sums": list(sums), "inner_iters": int(inner_iters),
                         "report": list(report),
@@ -219,8 +238,11 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
             if (_stop_after_segments is not None
                     and segments_run >= _stop_after_segments):
                 # test hook: simulate a crash right after this segment
+                if profiling:
+                    jax.profiler.stop_trace()
                 log.info(f"[stop] after {segments_run} segments (test hook)")
-                return {"interrupted": True, "autosave_path": autosave_path}
+                return {"interrupted": True, "autosave_path": autosave_path,
+                        "autosave_taken": os.path.exists(autosave_path)}
         if profiling:
             jax.block_until_ready(kl_w_new)
             jax.profiler.stop_trace()
