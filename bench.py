@@ -8,9 +8,11 @@ flagship Yahoo configuration (LSTM 512/1024/1024, nz 32, vocab 20k, batch
 32) over a Yahoo-like synthetic corpus (offline box — the real corpora are
 not fetchable; lengths drawn to match Yahoo's ~80-token average,
 SURVEY.md §6). Training runs as the fused whole-epoch XLA program the real
-CLI uses — including the Pallas VMEM-resident LSTM kernel (the yahoo
-config's default; measured v5e-1: 459 steps/s pallas vs 335 scan). The
-first (compile) epoch is excluded.
+CLI uses — including the Pallas VMEM-resident LSTM kernel and the fused
+vocab-projection+CE kernel (the yahoo config's defaults; measured v5e-1
+on the corrected ~80-token corpus: 173 steps/s fused kernels vs 100
+pallas-LSTM-only vs 77.5 scan — RESULTS.md). The first (compile) epoch
+is excluded.
 
 Baseline: the PyTorch reference's measured throughput is NOT available
 (BASELINE.json.published is empty and /root/reference was an empty mount —
