@@ -114,3 +114,29 @@ def test_labels_parsed():
         assert len(d) == 2
     finally:
         os.unlink(path)
+
+
+def test_flagship_corpus_generator():
+    """The Yahoo/Yelp offline substitute: structured (topic-conditioned HMM)
+    corpus at configurable scale with a per-sentence label prefix."""
+    from vae_lagging_encoder_tpu.data.synthetic import (
+        ensure_flagship_dataset, generate_flagship_corpus)
+
+    sents, topics = generate_flagship_corpus(
+        num_sentences=40, vocab_size=300, num_states=4, num_topics=3,
+        mean_len=30, std_len=8, seed=5)
+    assert len(sents) == len(topics) == 40
+    assert all(0 <= t < 3 for t in topics)
+    lens = [len(s) for s in sents]
+    assert min(lens) >= 8 and 20 <= np.mean(lens) <= 40
+    # deterministic for a fixed seed
+    sents2, topics2 = generate_flagship_corpus(
+        num_sentences=40, vocab_size=300, num_states=4, num_topics=3,
+        mean_len=30, std_len=8, seed=5)
+    assert sents == sents2 and topics == topics2
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        paths = ensure_flagship_dataset("yahoo", root=d, num_sentences=44)
+        data = MonoTextData(paths["train"], label=True)
+        assert len(data) == 40 and len(data.labels) == 40  # 44 - 2*2 eval

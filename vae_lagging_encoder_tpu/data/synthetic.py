@@ -50,6 +50,90 @@ def generate_synthetic_corpus(
     return sentences, topics
 
 
+def generate_flagship_corpus(
+    num_sentences: int = 20000,
+    vocab_size: int = 19996,
+    num_states: int = 24,
+    num_topics: int = 8,
+    mean_len: float = 100.0,
+    std_len: float = 28.0,
+    seed: int = 783435,
+) -> Tuple[List[List[str]], List[int]]:
+    """Yahoo-scale structured corpus: topic-conditioned hidden-Markov state
+    chains with per-state zipf emissions over a ~20k vocab, ~100-token
+    sentences. This is the offline stand-in for the real Yahoo/Yelp corpora
+    (zero-egress box) used by the flagship lifecycle runs in RESULTS.md —
+    structured enough that the aggressive encoder has sentence-level signal
+    to capture (an i.i.d.-token corpus makes it chase noise; RESULTS.md
+    caveat). Fully vectorized: per-state emissions sample by searchsorted
+    over a shared zipf CDF through per-state vocab permutations.
+    """
+    rng = np.random.RandomState(seed)
+    trans_cum = []
+    for _ in range(num_topics):
+        logits = (rng.gumbel(size=(num_states, num_states)) * 1.5
+                  + np.eye(num_states) * 2.0)
+        p = np.exp(logits - logits.max(1, keepdims=True))
+        p /= p.sum(1, keepdims=True)
+        trans_cum.append(np.cumsum(p, axis=1))
+    perms = [rng.permutation(vocab_size) for _ in range(num_states)]
+    w = 1.0 / np.arange(1, vocab_size + 1) ** 1.05
+    emit_cum = np.cumsum(w / w.sum())
+
+    lens = np.clip(rng.normal(mean_len, std_len, num_sentences),
+                   max(8, mean_len - 2.7 * std_len),
+                   mean_len + 2.9 * std_len).astype(int)
+    topics = rng.randint(num_topics, size=num_sentences)
+    all_states = np.empty(int(lens.sum()), np.int32)
+    pos = 0
+    for k in range(num_sentences):
+        cum = trans_cum[topics[k]]
+        u = rng.rand(lens[k])
+        s = rng.randint(num_states)
+        for i in range(int(lens[k])):
+            all_states[pos + i] = s
+            s = int(np.searchsorted(cum[s], u[i]))
+        pos += int(lens[k])
+    tok_ids = np.empty_like(all_states)
+    ue = rng.rand(len(all_states))
+    for s in range(num_states):
+        m = all_states == s
+        tok_ids[m] = perms[s][np.searchsorted(emit_cum, ue[m])]
+
+    sentences, pos = [], 0
+    for L in lens:
+        sentences.append([f"w{i}" for i in tok_ids[pos:pos + L]])
+        pos += int(L)
+    return sentences, [int(t) for t in topics]
+
+
+def ensure_flagship_dataset(name: str = "yahoo",
+                            root: str | None = None,
+                            seed: int = 783435,
+                            num_sentences: int = 22000) -> dict:
+    """Write a Yahoo/Yelp-shaped offline substitute corpus under
+    ``datasets/<name>_data/`` (the paths the yahoo/yelp configs expect),
+    split 20k/1k/1k. Returns the split→path dict."""
+    root = root or f"datasets/{name}_data"
+    paths = {split: os.path.join(root, f"{name}.{split}.txt")
+             for split in ("train", "valid", "test")}
+    if all(os.path.isfile(p) for p in paths.values()):
+        return paths
+    os.makedirs(root, exist_ok=True)
+    n_eval = max(1, num_sentences // 22)
+    sents, topics = generate_flagship_corpus(num_sentences=num_sentences,
+                                             seed=seed)
+    splits = {"train": slice(0, num_sentences - 2 * n_eval),
+              "valid": slice(num_sentences - 2 * n_eval,
+                             num_sentences - n_eval),
+              "test": slice(num_sentences - n_eval, num_sentences)}
+    for split, sl in splits.items():
+        with open(paths[split], "w") as fh:
+            for topic, sent in zip(topics[sl], sents[sl]):
+                fh.write(f"{topic}\t" + " ".join(sent) + "\n")
+    return paths
+
+
 def ensure_synthetic_dataset(root: str = "datasets/synthetic_data",
                              seed: int = 783435) -> dict:
     """Write {train,valid,test}.txt under ``root`` if absent; return paths."""
