@@ -177,6 +177,15 @@ def test_train_image_end_to_end(tmp_path):
     results = train_image(cfg)
     for k in ("elbo_loss", "rec", "kl", "mi", "au", "iw_nll"):
         assert k in results and np.isfinite(results[k]), k
+    # eval-only reload of the checkpoint (the image --eval --load_path
+    # branch; text's equivalent is covered in test_train.py). The final
+    # suite and the reload both key eval binarization from cfg.seed+1 with
+    # the best params, so the reload reproduces the numbers exactly.
+    r2 = train_image(cfg.replace(eval=True, load_path=cfg.save_path))
+    assert np.isfinite(r2["iw_nll"])
+    np.testing.assert_allclose(r2["elbo_loss"], results["elbo_loss"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(r2["iw_nll"], results["iw_nll"], rtol=1e-5)
 
 
 def test_omniglot_pt_ingestion_matches_npz(tmp_path):
