@@ -59,9 +59,8 @@ def offline(datasets) -> None:
             paths = ensure_flagship_dataset(ds, seed=783435 + (ds == "yelp"))
             print(f"{ds} (offline flagship-scale substitute) -> "
                   f"{paths['train']}")
-        else:
-            print(f"{ds}: no offline substitute (real corpus required); "
-                  "train on 'synthetic' instead", file=sys.stderr)
+        # argparse restricts --dataset to the four choices above, so
+        # every dataset has an offline substitute — no fallback branch.
 
 
 def main(argv=None) -> int:

@@ -65,8 +65,9 @@ def generate_flagship_corpus(
     (zero-egress box) used by the flagship lifecycle runs in RESULTS.md —
     structured enough that the aggressive encoder has sentence-level signal
     to capture (an i.i.d.-token corpus makes it chase noise; RESULTS.md
-    caveat). Fully vectorized: per-state emissions sample by searchsorted
-    over a shared zipf CDF through per-state vocab permutations.
+    caveat). The emission stage is vectorized (one searchsorted over a
+    shared zipf CDF per state, through per-state vocab permutations); the
+    state chains are a cheap per-token Python loop (~8 s at default scale).
     """
     rng = np.random.RandomState(seed)
     trans_cum = []
@@ -92,13 +93,16 @@ def generate_flagship_corpus(
         s = rng.randint(num_states)
         for i in range(int(lens[k])):
             all_states[pos + i] = s
-            s = int(np.searchsorted(cum[s], u[i]))
+            # min() guards the ~1e-15 chance of u landing above the CDF's
+            # float tail (cum[-1] can be slightly below 1.0)
+            s = min(int(np.searchsorted(cum[s], u[i])), num_states - 1)
         pos += int(lens[k])
     tok_ids = np.empty_like(all_states)
     ue = rng.rand(len(all_states))
     for s in range(num_states):
         m = all_states == s
-        tok_ids[m] = perms[s][np.searchsorted(emit_cum, ue[m])]
+        idx = np.minimum(np.searchsorted(emit_cum, ue[m]), vocab_size - 1)
+        tok_ids[m] = perms[s][idx]
 
     sentences, pos = [], 0
     for L in lens:
@@ -107,46 +111,61 @@ def generate_flagship_corpus(
     return sentences, [int(t) for t in topics]
 
 
+def _ensure_splits(root: str, name: str, splits: dict,
+                   generate) -> dict:
+    """Shared existence check + '<label>\\t<sentence>' split writer.
+
+    All three split files present → return them untouched (idempotent).
+    SOME present → refuse: the partial files may be a real corpus (e.g. an
+    interrupted tarball extraction) that must not be silently overwritten
+    with synthetic text. None present → generate and write all three.
+    """
+    paths = {split: os.path.join(root, f"{name}.{split}.txt")
+             for split in splits}
+    present = [p for p in paths.values() if os.path.isfile(p)]
+    if len(present) == len(paths):
+        return paths
+    if present:
+        raise FileExistsError(
+            f"{root} holds some but not all of {sorted(paths.values())} "
+            f"(found {present}); refusing to overwrite possibly-real data "
+            "with a synthetic substitute — remove the directory or complete "
+            "the real corpus")
+    os.makedirs(root, exist_ok=True)
+    sents, topics = generate()
+    for split, sl in splits.items():
+        with open(paths[split], "w") as fh:
+            for topic, sent in zip(topics[sl], sents[sl]):
+                fh.write(f"{topic}\t" + " ".join(sent) + "\n")
+    return paths
+
+
 def ensure_flagship_dataset(name: str = "yahoo",
                             root: str | None = None,
                             seed: int = 783435,
                             num_sentences: int = 22000) -> dict:
     """Write a Yahoo/Yelp-shaped offline substitute corpus under
     ``datasets/<name>_data/`` (the paths the yahoo/yelp configs expect),
-    split 20k/1k/1k. Returns the split→path dict."""
+    split 20k/1k/1k. Returns the split→path dict. Idempotent on a complete
+    existing corpus; refuses to overwrite a partial one (see
+    ``_ensure_splits`` — regenerating with a different seed/size requires
+    removing the directory first)."""
     root = root or f"datasets/{name}_data"
-    paths = {split: os.path.join(root, f"{name}.{split}.txt")
-             for split in ("train", "valid", "test")}
-    if all(os.path.isfile(p) for p in paths.values()):
-        return paths
-    os.makedirs(root, exist_ok=True)
     n_eval = max(1, num_sentences // 22)
-    sents, topics = generate_flagship_corpus(num_sentences=num_sentences,
-                                             seed=seed)
     splits = {"train": slice(0, num_sentences - 2 * n_eval),
               "valid": slice(num_sentences - 2 * n_eval,
                              num_sentences - n_eval),
               "test": slice(num_sentences - n_eval, num_sentences)}
-    for split, sl in splits.items():
-        with open(paths[split], "w") as fh:
-            for topic, sent in zip(topics[sl], sents[sl]):
-                fh.write(f"{topic}\t" + " ".join(sent) + "\n")
-    return paths
+    return _ensure_splits(
+        root, name, splits,
+        lambda: generate_flagship_corpus(num_sentences=num_sentences,
+                                         seed=seed))
 
 
 def ensure_synthetic_dataset(root: str = "datasets/synthetic_data",
                              seed: int = 783435) -> dict:
     """Write {train,valid,test}.txt under ``root`` if absent; return paths."""
-    paths = {split: os.path.join(root, f"synthetic.{split}.txt")
-             for split in ("train", "valid", "test")}
-    if all(os.path.isfile(p) for p in paths.values()):
-        return paths
-    os.makedirs(root, exist_ok=True)
-    sents, topics = generate_synthetic_corpus(seed=seed)
     splits = {"train": slice(0, 14000), "valid": slice(14000, 15000),
               "test": slice(15000, 16000)}
-    for split, sl in splits.items():
-        with open(paths[split], "w") as fh:
-            for topic, sent in zip(topics[sl], sents[sl]):
-                fh.write(f"{topic}\t" + " ".join(sent) + "\n")
-    return paths
+    return _ensure_splits(root, "synthetic", splits,
+                          lambda: generate_synthetic_corpus(seed=seed))
