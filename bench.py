@@ -1,14 +1,23 @@
 """Benchmark: Yahoo-config training throughput per chip.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N,
+     "aggressive_steps_per_sec": N, "aggressive_inner_steps": N}
 
-What's measured: plain-VAE (no inner loop) training steps/sec on the
-flagship Yahoo configuration (LSTM 512/1024/1024, nz 32, vocab 20k, batch
-32) over a Yahoo-like synthetic corpus (offline box — the real corpora are
-not fetchable; lengths drawn to match Yahoo's ~80-token average,
-SURVEY.md §6). Training runs as the fused whole-epoch XLA program the real
-CLI uses — including the Pallas VMEM-resident LSTM kernel and the fused
+What's measured:
+- headline (``value``): plain-VAE (no inner loop) training steps/sec on
+  the flagship Yahoo configuration (LSTM 512/1024/1024, nz 32, vocab 20k,
+  batch 32) over a Yahoo-like synthetic corpus (offline box — the real
+  corpora are not fetchable; lengths drawn to match Yahoo's ~80-token
+  average, SURVEY.md §6) — kept as the headline for r01/r02 comparability.
+- ``aggressive_steps_per_sec``: the paper's signature algorithm and the
+  program's hottest loop (SURVEY.md §3.2) — one aggressive epoch's
+  (outer + inner) full fwd+bwd steps/sec, inner encoder-only updates
+  running as an on-device ``lax.while_loop`` with in-graph batch-pool
+  sampling and the %15-window plateau stop.
+
+Training runs as the fused whole-epoch XLA program the real CLI uses —
+including the Pallas VMEM-resident LSTM kernel and the fused
 vocab-projection+CE kernel (the yahoo config's defaults; measured v5e-1
 on the corrected ~80-token corpus: 173 steps/s fused kernels vs 100
 pallas-LSTM-only vs 77.5 scan — RESULTS.md). The first (compile) epoch
@@ -100,11 +109,45 @@ def _run(use_pallas: bool) -> None:
     dt = time.time() - t0
     steps = n_epochs * pool.num_batches
     sps = steps / dt
+
+    # --- aggressive path (fresh params: the inner loop's plateau length
+    # depends on training state; epoch-0-from-init is the reproducible and
+    # the HARDEST case — longest inner loops). Segmented dispatches keep
+    # each device execution under the tunnel worker's unattended-kill
+    # horizon, same as the CLI's epoch_segment.
+    params = vae.init(jax.random.PRNGKey(cfg.seed))
+    opt_state = opt_init(params)
+    seg = 32
+
+    def run_aggr_epoch(params, opt_state, kl_w, seed):
+        inner = 0
+        for s, start in enumerate(range(0, pool.num_batches, seg)):
+            chunk = order[start:start + seg]
+            params, opt_state, kl_w, sums, seg_inner = epoch_fn(
+                params, opt_state,
+                jax.random.fold_in(jax.random.PRNGKey(seed), s), kl_w,
+                jnp.float32(1.0), chunk, aggressive=True)
+            inner += int(seg_inner)
+        jax.block_until_ready(sums)
+        return params, opt_state, kl_w, inner
+
+    # warmup (compiles both segment widths)
+    params, opt_state, kl_w, _ = run_aggr_epoch(
+        params, opt_state, jnp.float32(0.1), 100)
+    t0 = time.time()
+    params, opt_state, kl_w, inner = run_aggr_epoch(
+        params, opt_state, kl_w, 101)
+    dt_a = time.time() - t0
+    aggr_steps = pool.num_batches + inner
+    aggr_sps = aggr_steps / dt_a
+
     print(json.dumps({
         "metric": "yahoo_plain_vae_train_steps_per_sec_per_chip",
         "value": round(sps, 2),
         "unit": "steps/s",
         "vs_baseline": round(sps / PYTORCH_REF_STEPS_PER_SEC, 2),
+        "aggressive_steps_per_sec": round(aggr_sps, 2),
+        "aggressive_inner_steps": inner,
     }))
 
 

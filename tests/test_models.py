@@ -179,6 +179,33 @@ def test_reconstruct_error_chunked_matches_unchunked():
                                atol=1e-4)
 
 
+def test_chunked_dropout_keys_differ_per_chunk():
+    """Train-mode chunked rec with dropout on: each z-chunk must draw its
+    own dropout masks. Regression for the closure-key hazard where every
+    chunk split the same base key (VERDICT.md r2 weak #4): identical z
+    across chunks then yields identical per-chunk rec values, which the
+    fixed per-chunk key split must break."""
+    dec = LSTMDecoder(V, NI, NH, NZ, dropout_in=0.5, dropout_out=0.5,
+                      iw_chunk=2)
+    params = dec.init(jax.random.PRNGKey(3))
+    rng = np.random.RandomState(11)
+    toks, mask, _ = rand_batch(rng)
+    z_one = rng.randn(B, 1, NZ).astype(np.float32)
+    z = jnp.asarray(np.repeat(z_one, 6, axis=1))  # same z in all 3 chunks
+    rec = np.asarray(dec.reconstruct_error(params, toks, mask, z,
+                                           key=jax.random.PRNGKey(9),
+                                           train=True))  # [B, 6]
+    chunks = rec.reshape(B, 3, 2)
+    assert not np.allclose(chunks[:, 0], chunks[:, 1]), \
+        "chunks 0 and 1 share dropout masks"
+    assert not np.allclose(chunks[:, 1], chunks[:, 2]), \
+        "chunks 1 and 2 share dropout masks"
+    # eval mode (no dropout) stays exactly chunk-invariant
+    rec_eval = np.asarray(dec.reconstruct_error(params, toks, mask, z))
+    np.testing.assert_allclose(rec_eval, np.broadcast_to(
+        rec_eval[:, :1], rec_eval.shape), atol=1e-4)
+
+
 def test_loss_pad_rows_zero():
     vae, params = tiny_vae()
     rng = np.random.RandomState(7)

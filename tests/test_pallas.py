@@ -13,6 +13,11 @@ from jax.experimental.pallas import tpu as pltpu
 from vae_lagging_encoder_tpu.models.lstm_core import lstm_run
 from vae_lagging_encoder_tpu.ops.lstm_pallas import lstm_seq_fused
 
+# Interpret-mode Pallas is the other long tail of the default run (each
+# kernel test simulates the grid on CPU): kernel oracles stay in the full
+# `pytest tests/` run; the fast default is `pytest -m "not slow"`.
+pytestmark = pytest.mark.slow
+
 B, T, H = 8, 12, 128  # H aligned to the TPU lane width
 
 

@@ -28,6 +28,11 @@ import numpy as np
 import pytest
 import torch
 
+# The cross-framework suite is the default run's long tail (~7 min of CPU
+# jit + torch): full coverage stays in `pytest tests/`, the fast default is
+# `pytest -m "not slow"` (README "Tests") — VERDICT.md r2 weak #5.
+pytestmark = pytest.mark.slow
+
 from vae_lagging_encoder_tpu.models import (VAE, GaussianLSTMEncoder,
                                             LSTMDecoder, PixelCNNDecoderV2,
                                             ResNetEncoderV2)

@@ -48,7 +48,7 @@ def _dropout(key, x, rate: float, train: bool):
 class LSTMDecoder(DecoderBase):
     def __init__(self, vocab_size: int, ni: int, nh: int, nz: int,
                  dropout_in: float = 0.5, dropout_out: float = 0.5,
-                 compute_dtype=jnp.float32, iw_chunk: int = 20,
+                 compute_dtype=jnp.float32, iw_chunk: Optional[int] = None,
                  backend: str = "scan"):
         self.vocab_size = vocab_size
         self.ni = ni
@@ -59,9 +59,15 @@ class LSTMDecoder(DecoderBase):
         self.compute_dtype = compute_dtype
         self.backend = backend
         # z-sample chunk for reconstruct_error when K is large (IW eval);
-        # bounds the per-chunk row count B*iw_chunk (and, on the XLA path,
-        # the peak [B*iw_chunk, T, V] logits tensor). 20 measured fastest
-        # on v5e at the yahoo config (553 ms vs 616 at 10 per IW batch).
+        # bounds the per-chunk row count B*iw_chunk and, on the XLA path,
+        # the peak [B*iw_chunk, T, V] logits tensor. Default is per backend:
+        # 20 measured fastest on v5e at the yahoo config WITH the fused CE
+        # kernel (553 ms vs 616 at 10 per IW batch; no logits tensor), but
+        # the scan/XLA path materializes the logits, so 20 would double its
+        # peak to ~5 GB at yahoo dims — it keeps 10.
+        if iw_chunk is None:
+            iw_chunk = 20 if (backend == "pallas"
+                              and ce_fusable(nh, vocab_size)) else 10
         self.iw_chunk = iw_chunk
 
     def init(self, key) -> Dict:
@@ -140,14 +146,14 @@ class LSTMDecoder(DecoderBase):
         B, T = tokens.shape
         K = z.shape[1]
 
-        def rec_chunk(z_chunk):  # [B, k, nz] -> [B, k]
+        def rec_chunk(z_chunk, chunk_key):  # [B, k, nz] -> [B, k]
             k = z_chunk.shape[1]
             if self.backend == "pallas" and ce_fusable(self.nh, self.vocab_size):
                 # Fused vocab-projection + CE (ops/ce_pallas.py): per-token
                 # target logp without materializing [k*B*(T-1), V] logits
                 # in HBM — used on BOTH the training and IW-eval paths.
-                key_in, key_out = (jax.random.split(key)
-                                   if key is not None else (None, None))
+                key_in, key_out = (jax.random.split(chunk_key)
+                                   if chunk_key is not None else (None, None))
                 outs = self._hidden_states(params, tokens[:, :-1], z_chunk,
                                            key_in, train)  # [k*B, T-1, nh]
                 if train and key_out is not None:
@@ -159,7 +165,8 @@ class LSTMDecoder(DecoderBase):
                     params["pred"].astype(self.compute_dtype), tgt)
                 tok_lp = logp.reshape(k, B, T - 1).transpose(1, 0, 2)
                 return -jnp.sum(tok_lp * mask[:, None, 1:], axis=-1)
-            logits = self.decode(params, tokens[:, :-1], z_chunk, key, train)
+            logits = self.decode(params, tokens[:, :-1], z_chunk, chunk_key,
+                                 train)
             tgt = jnp.broadcast_to(tokens[:, None, 1:], (B, k, T - 1))
             if train:
                 # log_softmax fuses best with the backward pass
@@ -177,7 +184,7 @@ class LSTMDecoder(DecoderBase):
             return -jnp.sum(tok_lp * mask[:, None, 1:], axis=-1)
 
         if K <= self.iw_chunk:
-            return rec_chunk(z)
+            return rec_chunk(z, key)
         # Chunk the z-sample axis to bound peak logits memory; checkpoint so
         # the backward pass (not needed at eval, but harmless) recomputes.
         # Non-divisible K is padded with dummy samples and sliced off.
@@ -186,9 +193,16 @@ class LSTMDecoder(DecoderBase):
         if K_pad != K:
             z = jnp.concatenate(
                 [z, jnp.zeros((B, K_pad - K, self.nz), z.dtype)], axis=1)
-        zc = z.reshape(B, n_chunks, self.iw_chunk, self.nz)
-        out = jax.lax.map(jax.checkpoint(lambda zk: rec_chunk(zk)),
-                          zc.transpose(1, 0, 2, 3))  # [n_chunks, B, c]
+        zc = z.reshape(B, n_chunks, self.iw_chunk, self.nz).transpose(1, 0, 2, 3)
+        if key is None:
+            out = jax.lax.map(jax.checkpoint(lambda zk: rec_chunk(zk, None)),
+                              zc)  # [n_chunks, B, c]
+        else:
+            # Per-chunk dropout keys: without this every chunk would split
+            # the same base key and share dropout masks across z-chunks.
+            out = jax.lax.map(
+                jax.checkpoint(lambda a: rec_chunk(a[0], a[1])),
+                (zc, jax.random.split(key, n_chunks)))
         return out.transpose(1, 0, 2).reshape(B, K_pad)[:, :K]
 
     def log_probability(self, params, tokens, mask, z) -> jnp.ndarray:

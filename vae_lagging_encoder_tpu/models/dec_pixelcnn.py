@@ -186,7 +186,11 @@ class PixelCNNDecoderV2(DecoderBase):
                 canvases[l + 1] = jax.lax.dynamic_update_slice(
                     canvases[l + 1], h[:, None, None, :].astype(jnp.float32),
                     (0, i + m_next, j + m_next, 0))
-            logit = (jnp.dot(h, out_w, preferred_element_type=jnp.float32)
+            # the dense path's last hidden goes through compute_dtype before
+            # the f32 1x1 out conv (_logits lines above) — round the same
+            # way so fast-sampled logits match dense under bf16 too
+            logit = (jnp.dot(h.astype(cd).astype(jnp.float32), out_w,
+                             preferred_element_type=jnp.float32)
                      + params["out_b"])
             logits_canvas = jax.lax.dynamic_update_slice(
                 logits_canvas, logit[:, None, None, :], (0, i, j, 0))

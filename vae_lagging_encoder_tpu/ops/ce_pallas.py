@@ -23,10 +23,12 @@ When a gradient is requested, the forward additionally spills the logits
 in bf16 (1/6 the HBM cost of the f32 logits+logp pair the XLA path keeps
 live between fwd and bwd). The backward is then plain XLA: softmax from
 the saved (logits, lse) — no recompute matmul — an iota-compare onehot
-(TPU scatters serialize), and two large MXU matmuls for dh/dW: exactly
-the ``log_softmax`` VJP, so training dynamics are unchanged vs the
-reference's CE. Measured v5e @ N=3072, V=20004: fwd 2.0 ms vs 3.2 XLA;
-fwd+bwd 3.6 ms vs 5.0 XLA.
+(TPU scatters serialize), and two large MXU matmuls for dh/dW: the
+``log_softmax`` VJP evaluated at the (bf16-rounded, when mxu_dtype is
+bfloat16) saved logits, with the softmax renormalized per row so
+``sum_v dlogits = 0`` holds exactly despite the rounding (tests bound the
+end-to-end grad drift vs exact f32 at 5e-3). Measured v5e @ N=3072,
+V=20004: fwd 2.0 ms vs 3.2 XLA; fwd+bwd 3.6 ms vs 5.0 XLA.
 
 MXU precision: with ``mxu_dtype=bfloat16`` operands are cast to bf16 with
 f32 accumulation — the same single-pass semantics as XLA's DEFAULT TPU
@@ -49,8 +51,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .vmem import VMEM_LIMIT_BYTES
+
 NEG_INF = -1e30
-VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -200,6 +203,14 @@ def _fused_ce_bwd(block_n, block_v, mxu_dtype, interpret, res, g):
     vocab = w.shape[1]
     col = jnp.arange(logits.shape[1], dtype=jnp.int32)[None, :]
     p = jnp.exp(logits.astype(jnp.float32) - lse[:, None])
+    # The saved logits are bf16-rounded (when mxu_dtype is set), so p no
+    # longer sums to exactly 1 against the forward's f32 lse; renormalize
+    # over the real vocab columns (padded tail columns hold garbage matmul
+    # values) so the softmax rows — and hence sum_v dlogits = 0 — are exact
+    # again (ADVICE.md round 2). The rowsum fuses into the same elementwise
+    # pass, no extra HBM traffic.
+    rowsum = jnp.sum(jnp.where(col < vocab, p, 0.0), axis=1, keepdims=True)
+    p = p / rowsum
     # ∂logp/∂logits = onehot − softmax, so dlogits = g·(onehot − softmax);
     # the [:, :vocab] slice below drops the kernel's padded columns.
     d = (jnp.where(col == targets[:, None], 1.0, 0.0) - p) * g[:, None]

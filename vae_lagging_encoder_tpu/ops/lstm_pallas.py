@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 # streams overflow it; v5e's physical VMEM is far larger, so raise the cap.
 # 100 MB admits the training kernel up to B=64 (measured 49 MB working set
 # at B=64/H=1024) and the residual-free inference kernel up to B=128.
-VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+from .vmem import VMEM_LIMIT_BYTES
 
 
 def _gates(xw_t, h, wh):

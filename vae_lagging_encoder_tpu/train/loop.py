@@ -110,6 +110,26 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
             # periodic autosave: re-enter the SAME epoch at the segment
             # boundary after the save ("restart-from-step", SURVEY.md §5)
             start_epoch = int(resume_mid["epoch"])
+            # The skipped-batch offset indexes into the seed-derived epoch
+            # permutation; a different --seed (or a changed corpus) would
+            # silently train/skip the wrong batches (ADVICE.md round 2).
+            saved_seed = resume_mid.get("seed")
+            if saved_seed is not None and int(saved_seed) != int(cfg.seed):
+                raise SystemExit(
+                    f"mid-epoch resume: autosave was written with --seed "
+                    f"{int(saved_seed)} but this run uses --seed "
+                    f"{int(cfg.seed)} — the epoch shuffle would diverge and "
+                    f"the skipped-batch offset would be meaningless. Resume "
+                    f"with the original seed.")
+            saved_nb = resume_mid.get("num_batches")
+            if (saved_nb is not None
+                    and int(saved_nb) != int(train_pool.num_batches)):
+                raise SystemExit(
+                    f"mid-epoch resume: autosave expects "
+                    f"{int(saved_nb)} train batches but the pool has "
+                    f"{train_pool.num_batches} — the corpus or batching "
+                    f"changed since the autosave; mid-epoch positions don't "
+                    f"transfer.")
             if math.isfinite(best_loss):
                 # the autosaved params are the CURRENT ones, not the best;
                 # rollback-to-best must use the best-val checkpoint on disk
@@ -227,6 +247,8 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
                     "not_improved": not_improved, "dataset": cfg.dataset,
                     "mid_epoch": {
                         "epoch": epoch, "seg": seg,
+                        "seed": int(cfg.seed),
+                        "num_batches": int(train_pool.num_batches),
                         "next_start": start + int(chunk.shape[0]),
                         "sums": list(sums), "inner_iters": int(inner_iters),
                         "report": list(report),
@@ -401,7 +423,3 @@ def train_image(cfg: ExperimentConfig, logger: Optional[Logger] = None) -> Dict:
                         loss_fn=loss_fn, eval_loss_fn=eval_loss_fn,
                         prep=binarize_prep,
                         resume_state=extra if cfg.resume else None)
-
-
-def evaluate_text(cfg, vae, params, pool, log):  # back-compat alias
-    return run_final_eval(cfg, vae, params, pool, log)
