@@ -13,9 +13,15 @@ no unmeasured defaults.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+# allow `python experiments/bf16_text.py` from the repo root (the script-dir
+# rule would otherwise leave the package off sys.path)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VOCAB = 20_000
 NUM_SENTS = 3200

@@ -19,6 +19,8 @@ def test_mesh_has_8_devices():
     assert mesh.devices.size == 8
 
 
+@pytest.mark.slow  # 70s of CPU jit; the fused-epoch DP test below
+# and dryrun_multichip keep fast DP coverage
 def test_dp_step_matches_single_device():
     """psum'd DP gradients must reproduce the single-device update."""
     cfg = get_config("synthetic", ni=8, enc_nh=12, nz=2, dec_nh=12,
@@ -129,6 +131,7 @@ def test_dp_fused_epoch_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow  # 45s; eval math itself is covered by test_train
 def test_sharded_eval_matches_unsharded():
     """The batch-parallel eval suite (ELBO / MI / AU / IW-NLL) must return
     the unsharded values to fp tolerance — same per-batch fold_in keys, so

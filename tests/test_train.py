@@ -97,6 +97,8 @@ def test_epoch_fn_trains_and_anneals(setup):
     assert np.isfinite(loss2)
 
 
+@pytest.mark.slow  # 33s; aggressive semantics stay covered fast by
+# test_aggressive_inner_updates_encoder_only + the golden epoch
 def test_epoch_fn_aggressive_runs_inner(setup):
     cfg, data, pool, vae, params = setup
     cfg = cfg.replace(burn_max_iters=6, burn_window=3)
@@ -124,6 +126,7 @@ def test_adam_optimizer_step():
     assert float(p2["w"][0]) < float(p1["w"][0])
 
 
+@pytest.mark.slow  # 45s; estimator math is unit-tested in test_models
 def test_eval_suite(setup):
     cfg, data, pool, vae, params = setup
     key = jax.random.PRNGKey(5)

@@ -84,7 +84,12 @@ class ExperimentConfig:
     label: bool = False           # reference keeps sentence labels around; unused by training
 
     # --- TPU-first additions ---------------------------------------------
-    compute_dtype: str = "float32"   # "float32" | "bfloat16" (matmul inputs)
+    # "float32" | "bfloat16" (matmul inputs). f32 is the measured default on
+    # BOTH paths: TPU default matmul precision already runs bf16 multiplies
+    # with f32 accumulation, so explicit bf16 only adds cast traffic —
+    # image 2.50 vs 2.15 ms/step, text 157.6 vs 167.9 steps/s (RESULTS.md
+    # "Measured negative results").
+    compute_dtype: str = "float32"
     use_pallas: bool = False         # fused Pallas LSTM recurrent kernel
     # max batches per device dispatch inside an epoch (0 = whole epoch in
     # one dispatch). Bounds single-execution runtime — the tunneled TPU
