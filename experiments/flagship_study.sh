@@ -1,7 +1,7 @@
 #!/bin/bash
-# Round-3 flagship-scale aggressive-vs-plain controlled study
-# (VERDICT.md r2 "next round" #1 — the paper's central contrast at Yahoo
-# dims on the offline flagship substitute; SURVEY.md §3.1/§6,
+# Flagship-scale aggressive-vs-plain controlled study
+# (VERDICT.md r2 "next round" #1 — the paper's central contrast at flagship
+# dims on the offline substitute corpora; SURVEY.md §3.1/§6,
 # <ref>text.py §main lifecycle, paper Tables 2-3 semantics).
 #
 # Both arms run the FULL recipe: KL anneal from 0.1 over 10 epochs,
@@ -9,19 +9,21 @@
 # max_decay 5 early-stop, MI-plateau aggressive switch-off (arm 1),
 # periodic fault-tolerance autosave, final 500-sample IW suite.
 #
-# Usage (repo root, real TPU):  bash experiments/flagship_study.sh
+# Usage (repo root, real TPU):
+#     bash experiments/flagship_study.sh [yahoo|yelp]
 set -u
 cd "$(dirname "$0")/.."
-mkdir -p models/yahoo
+DS="${1:-yahoo}"
+mkdir -p "models/$DS"
 
-echo "=== arm 1: aggressive (paper's algorithm) ==="
-timeout 14400 python -m vae_lagging_encoder_tpu.cli.text --dataset yahoo \
+echo "=== $DS arm 1: aggressive (paper's algorithm) ==="
+timeout 14400 python -m vae_lagging_encoder_tpu.cli.text --dataset "$DS" \
     --aggressive 1 --autosave_niter 5000 \
-    --save_path models/yahoo/r3_aggr.ckpt \
-    --exp_dir models/yahoo/r3_flagship_aggr
+    --save_path "models/$DS/r3_aggr.ckpt" \
+    --exp_dir "models/$DS/r3_flagship_aggr"
 
-echo "=== arm 2: plain VAE (KL anneal only) ==="
-timeout 14400 python -m vae_lagging_encoder_tpu.cli.text --dataset yahoo \
+echo "=== $DS arm 2: plain VAE (KL anneal only) ==="
+timeout 14400 python -m vae_lagging_encoder_tpu.cli.text --dataset "$DS" \
     --aggressive 0 --autosave_niter 5000 \
-    --save_path models/yahoo/r3_plain.ckpt \
-    --exp_dir models/yahoo/r3_flagship_plain
+    --save_path "models/$DS/r3_plain.ckpt" \
+    --exp_dir "models/$DS/r3_flagship_plain"

@@ -47,24 +47,59 @@ def _as_prob_arrays(obj) -> Dict[str, np.ndarray]:
     return out
 
 
+def _render_glyph(strokes: np.ndarray, rng, ys, xs) -> np.ndarray:
+    """Render one drawing of a prototype: per-drawing global shift/rotation
+    plus per-stroke parameter jitter over gaussian-ridge strokes."""
+    img = np.zeros((28, 28), np.float32)
+    gdy, gdx = rng.normal(0, 1.5, size=2)
+    grot = rng.normal(0, 0.15)
+    for (cy, cx, ang, l_, w_) in strokes:
+        # rotate the stroke center around the canvas center, then jitter
+        ry = 14 + (cy - 14) * np.cos(grot) - (cx - 14) * np.sin(grot)
+        rx = 14 + (cy - 14) * np.sin(grot) + (cx - 14) * np.cos(grot)
+        cy_ = ry + gdy + rng.normal(0, 0.7)
+        cx_ = rx + gdx + rng.normal(0, 0.7)
+        ang_ = ang + grot + rng.normal(0, 0.1)
+        l2 = l_ * rng.uniform(0.85, 1.15)
+        w2 = w_ * rng.uniform(0.85, 1.15)
+        dy, dx = ys - cy_, xs - cx_
+        u = dy * np.sin(ang_) + dx * np.cos(ang_)
+        v = -dy * np.cos(ang_) + dx * np.sin(ang_)
+        img += np.exp(-(u / l2) ** 2 - (v / w2) ** 2)
+    return np.clip(img, 0, 1)
+
+
 def _synthetic_omniglot(seed: int = 783435) -> Dict[str, np.ndarray]:
-    """Structured stroke-like probability images (offline substitute)."""
+    """Class-structured stroke glyphs (offline substitute).
+
+    Mirrors OmniGlot's character/drawing hierarchy — the structure the
+    latent is supposed to capture: K prototype "characters" (fixed stroke
+    layouts), each rendered many times with per-drawing deformations
+    (global shift/rotation + per-stroke jitter). Train uses 80 prototypes;
+    val/test use 10 held-out prototypes each (reference OmniGlot evaluates
+    on unseen characters). The first generator (pure i.i.d. random strokes)
+    had NO cross-image structure for z to encode, and both study arms
+    degenerated on it (RESULTS.md round-3 image study)."""
     rng = np.random.RandomState(seed)
     ys, xs = np.mgrid[0:28, 0:28].astype(np.float32)
+    protos = []
+    for _ in range(100):
+        n_strokes = rng.randint(2, 6)
+        protos.append(np.stack([
+            rng.uniform(6, 22, size=n_strokes),        # cy
+            rng.uniform(6, 22, size=n_strokes),        # cx
+            rng.uniform(0, np.pi, size=n_strokes),     # angle
+            rng.uniform(3, 9, size=n_strokes),         # length
+            rng.uniform(0.6, 1.6, size=n_strokes),     # width
+        ], axis=1))
+    split_protos = {"train": protos[:80], "val": protos[80:90],
+                    "test": protos[90:]}
     out = {}
     for split, n in _SYNTH_SIZES.items():
+        ps = split_protos[split]
         imgs = np.zeros((n, 28, 28, 1), np.float32)
         for i in range(n):
-            img = np.zeros((28, 28), np.float32)
-            for _ in range(rng.randint(2, 5)):  # a few gaussian "strokes"
-                cy, cx = rng.uniform(4, 24, size=2)
-                ang = rng.uniform(0, np.pi)
-                l_, w_ = rng.uniform(3, 9), rng.uniform(0.6, 1.6)
-                dy, dx = ys - cy, xs - cx
-                u = dy * np.sin(ang) + dx * np.cos(ang)
-                v = -dy * np.cos(ang) + dx * np.sin(ang)
-                img += np.exp(-(u / l_) ** 2 - (v / w_) ** 2)
-            imgs[i, :, :, 0] = np.clip(img, 0, 1)
+            imgs[i, :, :, 0] = _render_glyph(ps[i % len(ps)], rng, ys, xs)
         out[split] = imgs
     return out
 
