@@ -20,7 +20,10 @@ from typing import Dict, Tuple
 import numpy as np
 
 # Reference dataset scale (SURVEY.md §6): 24,345 train / 8,070 test.
-_SYNTH_SIZES = {"train": 2000, "val": 500, "test": 500}
+# Reference scale (SURVEY.md §6: OmniGlot ≈ 24,345 train / 8,070 test):
+# an undersized substitute lets the PixelCNN memorize the corpus
+# unconditionally and voids the latent (RESULTS.md round-3 image study).
+_SYNTH_SIZES = {"train": 24000, "val": 1000, "test": 1000}
 
 
 def _as_prob_arrays(obj) -> Dict[str, np.ndarray]:
@@ -83,7 +86,7 @@ def _synthetic_omniglot(seed: int = 783435) -> Dict[str, np.ndarray]:
     rng = np.random.RandomState(seed)
     ys, xs = np.mgrid[0:28, 0:28].astype(np.float32)
     protos = []
-    for _ in range(100):
+    for _ in range(1000):  # ~reference character-set scale (964 + held-out)
         n_strokes = rng.randint(2, 6)
         protos.append(np.stack([
             rng.uniform(6, 22, size=n_strokes),        # cy
@@ -92,8 +95,8 @@ def _synthetic_omniglot(seed: int = 783435) -> Dict[str, np.ndarray]:
             rng.uniform(3, 9, size=n_strokes),         # length
             rng.uniform(0.6, 1.6, size=n_strokes),     # width
         ], axis=1))
-    split_protos = {"train": protos[:80], "val": protos[80:90],
-                    "test": protos[90:]}
+    split_protos = {"train": protos[:800], "val": protos[800:900],
+                    "test": protos[900:]}
     out = {}
     for split, n in _SYNTH_SIZES.items():
         ps = split_protos[split]
