@@ -101,9 +101,11 @@ def _run(use_pallas: bool) -> None:
 
     # warmup epoch (compile)
     params, opt_state, kl_w, _ = run_epoch(params, opt_state, jnp.float32(0.1), 0)
-    # timed epochs
+    # timed epochs — 6, not 2: at ~170 steps/s one epoch is only ~0.6 s of
+    # device time, so a short window lets per-dispatch tunnel jitter move
+    # the headline by ±5%
     t0 = time.time()
-    n_epochs = 2
+    n_epochs = 6
     for e in range(n_epochs):
         params, opt_state, kl_w, sums = run_epoch(params, opt_state, kl_w, e + 1)
     dt = time.time() - t0

@@ -25,10 +25,12 @@ live between fwd and bwd). The backward is then plain XLA: softmax from
 the saved (logits, lse) — no recompute matmul — an iota-compare onehot
 (TPU scatters serialize), and two large MXU matmuls for dh/dW: the
 ``log_softmax`` VJP evaluated at the (bf16-rounded, when mxu_dtype is
-bfloat16) saved logits, with the softmax renormalized per row so
-``sum_v dlogits = 0`` holds exactly despite the rounding (tests bound the
-end-to-end grad drift vs exact f32 at 5e-3). Measured v5e @ N=3072,
-V=20004: fwd 2.0 ms vs 3.2 XLA; fwd+bwd 3.6 ms vs 5.0 XLA.
+bfloat16) saved logits. The forward kernel accumulates the logsumexp of
+the ROUNDED logits alongside the exact one, and saves THAT as the
+backward residual, so the backward's softmax rows sum to exactly 1 —
+``sum_v dlogits = 0`` holds despite the rounding, at zero backward cost
+(tests bound the end-to-end grad drift vs exact f32 at 5e-3). Measured
+v5e @ N=3072, V=20004: fwd 2.0 ms vs 3.2 XLA; fwd+bwd 3.6 ms vs 5.0 XLA.
 
 MXU precision: with ``mxu_dtype=bfloat16`` operands are cast to bf16 with
 f32 accumulation — the same single-pass semantics as XLA's DEFAULT TPU
@@ -61,7 +63,7 @@ def _cdiv(a: int, b: int) -> int:
 
 
 def _ce_kernel(tgt_ref, h_ref, w_ref, out_ref, lse_ref, logits_ref,
-               m_scr, s_scr, tl_scr, *, vocab: int, block_v: int,
+               m_scr, s_scr, tl_scr, s2_scr, *, vocab: int, block_v: int,
                n_vblocks: int, mxu_dtype):
     """Grid (row_tiles, vocab_tiles), vocab inner. Scratch carries the
     running (max, sumexp, target-logit) across the vocab sweep.
@@ -69,7 +71,11 @@ def _ce_kernel(tgt_ref, h_ref, w_ref, out_ref, lse_ref, logits_ref,
     When ``logits_ref`` is not None the block's logits are also written out
     in bf16 — the backward residual that lets the VJP skip the recompute
     matmul entirely (the bf16 write is ~1/6 the HBM cost of the f32 logits
-    the XLA path materializes, and only exists when grad is needed)."""
+    the XLA path materializes, and only exists when grad is needed). In
+    that case ``s2_scr`` additionally accumulates the logsumexp of the
+    ROUNDED logits, so the backward's softmax rows (computed from the
+    residual) sum to exactly 1 with no renormalization pass of their own —
+    the extra exp-sum rides the MXU-bound sweep for free."""
     j = pl.program_id(1)
 
     h = h_ref[:]
@@ -78,11 +84,13 @@ def _ce_kernel(tgt_ref, h_ref, w_ref, out_ref, lse_ref, logits_ref,
         h = h.astype(mxu_dtype)
         w = w.astype(mxu_dtype)
     logits = jnp.dot(h, w, preferred_element_type=jnp.float32)  # [TN, TV]
-    if logits_ref is not None:
-        logits_ref[:] = logits.astype(logits_ref.dtype)
-
     tn, tv = logits.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (tn, tv), 1) + j * block_v
+    if logits_ref is not None:
+        spill = logits.astype(logits_ref.dtype)
+        logits_ref[:] = spill
+        rounded = jnp.where(col < vocab, spill.astype(jnp.float32), NEG_INF)
+
     logits = jnp.where(col < vocab, logits, NEG_INF)  # mask the ragged tail
 
     tgt = tgt_ref[:]  # [TN, 1] int32
@@ -95,20 +103,34 @@ def _ce_kernel(tgt_ref, h_ref, w_ref, out_ref, lse_ref, logits_ref,
         m_scr[:] = blk_max
         s_scr[:] = jnp.sum(jnp.exp(logits - blk_max), axis=1, keepdims=True)
         tl_scr[:] = tl_part
+        if logits_ref is not None:
+            s2_scr[:] = jnp.sum(jnp.exp(rounded - blk_max), axis=1,
+                                keepdims=True)
 
     @pl.when(j > 0)
     def _accum():
         m_new = jnp.maximum(m_scr[:], blk_max)
-        s_scr[:] = (s_scr[:] * jnp.exp(m_scr[:] - m_new)
+        scale = jnp.exp(m_scr[:] - m_new)
+        s_scr[:] = (s_scr[:] * scale
                     + jnp.sum(jnp.exp(logits - m_new), axis=1, keepdims=True))
+        if logits_ref is not None:
+            s2_scr[:] = (s2_scr[:] * scale
+                         + jnp.sum(jnp.exp(rounded - m_new), axis=1,
+                                   keepdims=True))
         m_scr[:] = m_new
         tl_scr[:] = tl_scr[:] + tl_part
 
     @pl.when(j == n_vblocks - 1)
     def _finalize():
         lse = m_scr[:] + jnp.log(s_scr[:])
-        lse_ref[:] = lse
         out_ref[:] = tl_scr[:] - lse
+        if logits_ref is None:
+            lse_ref[:] = lse
+        else:
+            # residual lse = logsumexp of the SAVED (rounded) logits, so
+            # the backward's exp(saved − lse) is an exactly-normalized
+            # softmax over the real vocab columns
+            lse_ref[:] = m_scr[:] + jnp.log(s2_scr[:])
 
 
 def _ce_forward(h: jnp.ndarray, w: jnp.ndarray, targets: jnp.ndarray,
@@ -133,8 +155,8 @@ def _ce_forward(h: jnp.ndarray, w: jnp.ndarray, targets: jnp.ndarray,
         mxu_dtype=mxu_dtype)
     if not save_logits:
         base = kernel
-        kernel = (lambda tgt, h_, w_, out, lse, m, s, tl:
-                  base(tgt, h_, w_, out, lse, None, m, s, tl))
+        kernel = (lambda tgt, h_, w_, out, lse, m, s, tl, s2:
+                  base(tgt, h_, w_, out, lse, None, m, s, tl, s2))
 
     row_spec = pl.BlockSpec((block_n, 1), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -164,7 +186,7 @@ def _ce_forward(h: jnp.ndarray, w: jnp.ndarray, targets: jnp.ndarray,
         ],
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((block_n, 1), f32) for _ in range(3)],
+        scratch_shapes=[pltpu.VMEM((block_n, 1), f32) for _ in range(4)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES,
             dimension_semantics=("parallel", "arbitrary")),
@@ -202,15 +224,12 @@ def _fused_ce_bwd(block_n, block_v, mxu_dtype, interpret, res, g):
     h, w, targets, lse, logits = res
     vocab = w.shape[1]
     col = jnp.arange(logits.shape[1], dtype=jnp.int32)[None, :]
+    # `lse` is the forward kernel's logsumexp OF THE SAVED (rounded) logits
+    # (s2 accumulator), so p is an exactly row-normalized softmax despite
+    # the bf16 residual — sum_v dlogits = 0 holds with no extra
+    # renormalization pass here (ADVICE.md round 2; an XLA-side row-sum
+    # divide measured ~4% off the end-to-end train step).
     p = jnp.exp(logits.astype(jnp.float32) - lse[:, None])
-    # The saved logits are bf16-rounded (when mxu_dtype is set), so p no
-    # longer sums to exactly 1 against the forward's f32 lse; renormalize
-    # over the real vocab columns (padded tail columns hold garbage matmul
-    # values) so the softmax rows — and hence sum_v dlogits = 0 — are exact
-    # again (ADVICE.md round 2). The rowsum fuses into the same elementwise
-    # pass, no extra HBM traffic.
-    rowsum = jnp.sum(jnp.where(col < vocab, p, 0.0), axis=1, keepdims=True)
-    p = p / rowsum
     # ∂logp/∂logits = onehot − softmax, so dlogits = g·(onehot − softmax);
     # the [:, :vocab] slice below drops the kernel's padded columns.
     d = (jnp.where(col == targets[:, None], 1.0, 0.0) - p) * g[:, None]
