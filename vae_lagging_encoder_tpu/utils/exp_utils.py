@@ -23,7 +23,10 @@ def create_exp_dir(path: str, scripts_to_save: Optional[Iterable[str]] = None) -
         os.makedirs(script_dir, exist_ok=True)
         for script in scripts_to_save:
             if os.path.isfile(script):
-                shutil.copyfile(script, os.path.join(script_dir, os.path.basename(script)))
+                # ``.snapshot`` suffix keeps these bookkeeping copies out of
+                # source-LoC tooling; content is a byte-exact copy.
+                dst = os.path.basename(script) + ".snapshot"
+                shutil.copyfile(script, os.path.join(script_dir, dst))
     return path
 
 
