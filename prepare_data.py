@@ -42,6 +42,7 @@ def download(dataset: str, url: str | None = None) -> None:
 def offline(datasets) -> None:
     from vae_lagging_encoder_tpu.data import (ensure_omniglot_dataset,
                                               ensure_synthetic_dataset)
+    from vae_lagging_encoder_tpu.data.english import ensure_english_dataset
     from vae_lagging_encoder_tpu.data.synthetic import ensure_flagship_dataset
 
     for ds in datasets:
@@ -51,6 +52,15 @@ def offline(datasets) -> None:
         elif ds == "omniglot":
             path = ensure_omniglot_dataset()
             print(f"omniglot (offline substitute) -> {path}")
+        elif ds == "docs_english":
+            # REAL English harvested from on-box package docstrings at
+            # yahoo shape (~100-token docs, 20k vocab) — the strongest
+            # offline stand-in for the reference's natural-language
+            # corpora (data/english.py). Download-only datasets don't
+            # include it; it is offline-native.
+            paths = ensure_english_dataset()
+            print(f"docs_english (harvested real-English corpus) -> "
+                  f"{paths['train']}")
         elif ds in ("yahoo", "yelp"):
             # Yahoo/Yelp-shaped structured corpus (topic-conditioned HMM,
             # ~20k vocab, ~100-token sentences) at the paths the config
@@ -66,7 +76,7 @@ def offline(datasets) -> None:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", nargs="*", default=list(DATASET_URLS),
-                   choices=list(DATASET_URLS))
+                   choices=list(DATASET_URLS) + ["docs_english"])
     p.add_argument("--url", default=None,
                    help="override the download URL (single dataset only)")
     p.add_argument("--offline", action="store_true",

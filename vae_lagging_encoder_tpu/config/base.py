@@ -131,6 +131,13 @@ DATASET_CONFIGS = {
     "yelp": _text_cfg("yelp", ni=512, enc_nh=1024, dec_nh=1024, nz=32,
                       batch_size=32, epochs=100, warm_up=10, kl_start=0.1,
                       use_pallas=True),
+    # TPU-build addition (no reference equivalent): REAL-English corpus
+    # harvested from on-box package docstrings (data/english.py) at yahoo
+    # dims/recipe — the closest available stand-in for the reference's
+    # natural-language corpora on this zero-egress box.
+    "docs_english": _text_cfg("docs_english", ni=512, enc_nh=1024,
+                              dec_nh=1024, nz=32, batch_size=32, epochs=100,
+                              warm_up=10, kl_start=0.1, use_pallas=True),
     # <ref>config/config_synthetic.py §params — small nets, nz=1 for the
     # posterior-mean-space tracing experiment.
     "synthetic": _text_cfg("synthetic", ni=50, enc_nh=50, dec_nh=50, nz=1,

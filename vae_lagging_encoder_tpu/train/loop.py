@@ -38,7 +38,7 @@ from .epoch import (_unpack, binarize_prep, make_au_fn, make_eval_fn,
 def load_text_datasets(cfg: ExperimentConfig):
     if cfg.dataset == "synthetic":
         ensure_synthetic_dataset()
-    label = cfg.label or cfg.dataset in ("yahoo", "yelp", "synthetic")
+    label = cfg.label or cfg.dataset in ("yahoo", "yelp", "synthetic", "docs_english")
     train = MonoTextData(cfg.train_data, label=label)
     val = MonoTextData(cfg.val_data, label=label, vocab=train.vocab)
     test = MonoTextData(cfg.test_data, label=label, vocab=train.vocab)
