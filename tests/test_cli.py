@@ -48,3 +48,23 @@ def test_text_parser_generation_flags():
     assert args.sample_from_prior and args.decoding_strategy == "beam"
     with pytest.raises(SystemExit):
         p.parse_args(["--decoding_strategy", "nope"])
+
+
+def test_jax_platform_flag():
+    # --jax_platform cpu forces the CPU backend post-import (the axon
+    # sitecustomize pins jax_platforms at interpreter start, so only the
+    # config.update route works); conftest already runs us on cpu, so the
+    # observable here is that apply_platform keeps/sets "cpu" and the
+    # default (flag absent) touches nothing.
+    import jax
+
+    from vae_lagging_encoder_tpu.cli.common import apply_platform
+
+    before = jax.config.jax_platforms
+    args = build_parser().parse_args(["--dataset", "yahoo"])
+    apply_platform(args)
+    assert jax.config.jax_platforms == before
+    args = build_parser().parse_args(
+        ["--dataset", "yahoo", "--jax_platform", "cpu"])
+    apply_platform(args)
+    assert jax.config.jax_platforms == "cpu"

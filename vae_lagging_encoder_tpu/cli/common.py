@@ -59,7 +59,23 @@ def build_parser(default_dataset: str = "yahoo") -> argparse.ArgumentParser:
     p.add_argument("--train_data", type=str, default=None)
     p.add_argument("--val_data", type=str, default=None)
     p.add_argument("--test_data", type=str, default=None)
+    p.add_argument("--jax_platform", type=str, default=None,
+                   choices=["cpu", "tpu"],
+                   help="force the JAX backend (cpu = run off-device, e.g. "
+                        "while the TPU is busy; default = jax's pick)")
     return p
+
+
+def apply_platform(args: argparse.Namespace) -> None:
+    """Force the JAX backend if --jax_platform was given.
+
+    Must run before any computation. The axon sitecustomize pre-imports
+    jax and pins jax_platforms="axon,cpu", so the env var route is dead —
+    only a post-import config.update works (same dance as
+    tests/conftest.py)."""
+    if getattr(args, "jax_platform", None) == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
 
 def config_from_args(args: argparse.Namespace) -> ExperimentConfig:

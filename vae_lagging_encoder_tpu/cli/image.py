@@ -16,7 +16,7 @@ import json
 import sys
 
 from ..train.loop import train_image
-from .common import build_parser, config_from_args, make_run_logger
+from .common import apply_platform, build_parser, config_from_args, make_run_logger
 
 
 def build_image_parser():
@@ -33,6 +33,7 @@ def build_image_parser():
 
 def init_config(argv=None):
     args = build_image_parser().parse_args(argv)
+    apply_platform(args)
     cfg = config_from_args(args)
     if cfg.model_type != "image":
         raise SystemExit(f"--dataset {cfg.dataset} is not an image dataset; "

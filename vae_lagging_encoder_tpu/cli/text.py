@@ -18,7 +18,7 @@ import json
 import sys
 
 from ..train.loop import train_text
-from .common import build_parser, config_from_args, make_run_logger
+from .common import apply_platform, build_parser, config_from_args, make_run_logger
 
 
 def build_text_parser():
@@ -37,6 +37,7 @@ def build_text_parser():
 
 def init_config(argv=None):
     args = build_text_parser().parse_args(argv)
+    apply_platform(args)
     cfg = config_from_args(args)
     if cfg.model_type != "text":
         raise SystemExit(f"--dataset {cfg.dataset} is not a text dataset; "

@@ -29,7 +29,7 @@ from ..models import build_text_vae
 from ..train.epoch import make_train_epoch
 from ..train.loop import load_text_datasets
 from ..utils.exp_utils import Logger
-from .common import build_parser, config_from_args
+from .common import apply_platform, build_parser, config_from_args
 
 
 def init_config(argv=None):
@@ -43,6 +43,7 @@ def init_config(argv=None):
     p.add_argument("--dz", type=float, default=0.1)
     p.add_argument("--plot_dir", type=str, default="plot_data")
     args = p.parse_args(argv)
+    apply_platform(args)
     cfg = config_from_args(args)
     if cfg.nz != 1:
         raise SystemExit("toy tracing requires nz=1 (use --dataset synthetic)")
