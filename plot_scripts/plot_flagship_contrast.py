@@ -46,6 +46,8 @@ def main():
     ap.add_argument("--aggr", default="models/yahoo/r3_flagship_aggr/log.metrics.jsonl")
     ap.add_argument("--plain", default="models/yahoo/r3_flagship_plain/log.metrics.jsonl")
     ap.add_argument("--out", default="plot_data/flagship_kl_contrast.png")
+    ap.add_argument("--title", default="Posterior collapse at flagship "
+                    "scale (Yahoo dims, offline corpus)")
     args = ap.parse_args()
 
     ea, ka = load_kl(args.aggr)
@@ -66,8 +68,7 @@ def main():
                 fontsize=9)
     ax.set_xlabel("epoch", color=INK)
     ax.set_ylabel("validation KL (nats)", color=INK)
-    ax.set_title("Posterior collapse at flagship scale (Yahoo dims, "
-                 "offline corpus)", color=INK, fontsize=11)
+    ax.set_title(args.title, color=INK, fontsize=11)
     ax.grid(True, color="#e6e6e6", lw=0.8)
     ax.set_axisbelow(True)
     for s in ("top", "right"):
