@@ -45,6 +45,23 @@ NUM_SENTS = 3200
 BATCH = 32
 
 
+def build_bench_corpus():
+    """Yahoo-like synthetic corpus: ~80-token average sentences, 20k vocab.
+
+    Shared with experiments/bf16_text.py (imported from there) so its
+    "bench.py corpus" comparability claim holds by construction."""
+    rng = np.random.RandomState(0)
+    words = [f"w{i}" for i in range(VOCAB - 4)]
+    lens = np.clip(rng.normal(80, 25, NUM_SENTS), 20, 160).astype(int)
+    freq = rng.zipf(1.3, size=int(lens.sum())) % (VOCAB - 4)
+    sents, pos = [], 0
+    for ln in lens:
+        sents.append([words[i] for i in freq[pos:pos + ln]])
+        pos += int(ln)
+    assert min(len(s) for s in sents) >= 20  # no degenerate sentences
+    return sents
+
+
 def main() -> None:
     # The tunneled TPU worker occasionally crashes/restarts mid-run; retry
     # once, then fall back to the scan LSTM path so the driver always gets
@@ -72,16 +89,7 @@ def _run(use_pallas: bool) -> None:
     from vae_lagging_encoder_tpu.models import build_text_vae
     from vae_lagging_encoder_tpu.train import make_train_epoch
 
-    # Yahoo-like synthetic corpus: ~80-token average sentences, 20k vocab.
-    rng = np.random.RandomState(0)
-    words = [f"w{i}" for i in range(VOCAB - 4)]
-    lens = np.clip(rng.normal(80, 25, NUM_SENTS), 20, 160).astype(int)
-    freq = rng.zipf(1.3, size=int(lens.sum())) % (VOCAB - 4)
-    sents, pos = [], 0
-    for ln in lens:
-        sents.append([words[i] for i in freq[pos:pos + ln]])
-        pos += int(ln)
-    assert min(len(s) for s in sents) >= 20  # no degenerate sentences
+    sents = build_bench_corpus()
     cfg = get_config("yahoo", use_pallas=use_pallas)
     data = MonoTextData(sentences=sents)
     pool = BucketedPool(data.create_data_batch(BATCH, cfg.length_buckets))
@@ -133,12 +141,17 @@ def _run(use_pallas: bool) -> None:
         jax.block_until_ready(sums)
         return params, opt_state, kl_w, inner
 
-    # warmup (compiles both segment widths)
+    # warmup (compiles both segment widths), then RE-INITIALIZE so the
+    # timed epoch really is epoch-0-from-init as documented above — the
+    # warmup epoch trains params, and plateau lengths depend on state
+    # (the compile cache is value-independent, so re-init costs nothing)
     params, opt_state, kl_w, _ = run_aggr_epoch(
         params, opt_state, jnp.float32(0.1), 100)
+    params = vae.init(jax.random.PRNGKey(cfg.seed))
+    opt_state = opt_init(params)
     t0 = time.time()
     params, opt_state, kl_w, inner = run_aggr_epoch(
-        params, opt_state, kl_w, 101)
+        params, opt_state, jnp.float32(0.1), 101)
     dt_a = time.time() - t0
     aggr_steps = pool.num_batches + inner
     aggr_sps = aggr_steps / dt_a

@@ -17,29 +17,17 @@ import os
 import sys
 import time
 
-import numpy as np
-
 # allow `python experiments/bf16_text.py` from the repo root (the script-dir
 # rule would otherwise leave the package off sys.path)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-VOCAB = 20_000
-NUM_SENTS = 3200
-BATCH = 32
+from bench import BATCH, build_bench_corpus  # the shared bench corpus
 
 
 def build_pool(cfg):
     from vae_lagging_encoder_tpu.data import BucketedPool, MonoTextData
 
-    rng = np.random.RandomState(0)
-    words = [f"w{i}" for i in range(VOCAB - 4)]
-    lens = np.clip(rng.normal(80, 25, NUM_SENTS), 20, 160).astype(int)
-    freq = rng.zipf(1.3, size=int(lens.sum())) % (VOCAB - 4)
-    sents, pos = [], 0
-    for ln in lens:
-        sents.append([words[i] for i in freq[pos:pos + ln]])
-        pos += int(ln)
-    data = MonoTextData(sentences=sents)
+    data = MonoTextData(sentences=build_bench_corpus())
     return data, BucketedPool(data.create_data_batch(BATCH, cfg.length_buckets))
 
 

@@ -52,6 +52,10 @@ def main():
 
     ea, ka = load_kl(args.aggr)
     ep, kp = load_kl(args.plain)
+    if not ka or not kp:
+        raise SystemExit(
+            f"no val_kl epochs logged yet (aggr: {len(ka)}, plain: "
+            f"{len(kp)}) — did the study finish at least one epoch?")
 
     fig, ax = plt.subplots(figsize=(6.4, 3.6), dpi=150)
     ax.plot(ea, ka, color=C_AGGR, lw=2, solid_capstyle="round",
@@ -80,7 +84,8 @@ def main():
     ax.set_ylim(bottom=0)
     ax.margins(x=0.02)
     fig.tight_layout()
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    if os.path.dirname(args.out):
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
     fig.savefig(args.out)
     print(f"wrote {args.out}")
 

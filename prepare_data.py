@@ -86,6 +86,14 @@ def main(argv=None) -> int:
         offline(args.dataset)
         return 0
     for ds in args.dataset:
+        if ds == "docs_english":
+            # offline-native (harvested on-box, nothing to download)
+            from vae_lagging_encoder_tpu.data.english import \
+                ensure_english_dataset
+            paths = ensure_english_dataset()
+            print(f"docs_english (harvested real-English corpus) -> "
+                  f"{paths['train']}")
+            continue
         try:
             download(ds, args.url if len(args.dataset) == 1 else None)
         except Exception as e:  # zero-egress boxes land here

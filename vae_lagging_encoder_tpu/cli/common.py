@@ -60,9 +60,9 @@ def build_parser(default_dataset: str = "yahoo") -> argparse.ArgumentParser:
     p.add_argument("--val_data", type=str, default=None)
     p.add_argument("--test_data", type=str, default=None)
     p.add_argument("--jax_platform", type=str, default=None,
-                   choices=["cpu", "tpu"],
-                   help="force the JAX backend (cpu = run off-device, e.g. "
-                        "while the TPU is busy; default = jax's pick)")
+                   choices=["cpu"],
+                   help="cpu = run off-device (e.g. while the TPU is busy); "
+                        "default = jax's pick (the TPU when present)")
     return p
 
 

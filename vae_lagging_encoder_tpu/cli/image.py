@@ -55,12 +55,26 @@ def save_grid(imgs, path: str, ncols: int = 10) -> None:
         r, c = divmod(i, ncols)
         canvas[r * (h + 2) + 1:r * (h + 2) + 1 + h,
                c * (w + 2) + 1:c * (w + 2) + 1 + w] = imgs[i, :, :, 0]
-    import matplotlib
+    _write_gray_png(path, np.round(np.clip(canvas, 0, 1) * 255).astype(np.uint8))
 
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
 
-    plt.imsave(path, canvas, cmap="gray", vmin=0.0, vmax=1.0)
+def _write_gray_png(path: str, gray: "np.ndarray") -> None:
+    """Minimal 8-bit grayscale PNG encoder (stdlib zlib/struct only)."""
+    import struct
+    import zlib
+
+    h, w = gray.shape
+    raw = b"".join(b"\x00" + gray[r].tobytes() for r in range(h))
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload)))
+
+    with open(path, "wb") as fh:
+        fh.write(b"\x89PNG\r\n\x1a\n"
+                 + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+                 + chunk(b"IDAT", zlib.compress(raw, 6))
+                 + chunk(b"IEND", b""))
 
 
 def generate(cfg, args, log, exp_dir: str) -> int:

@@ -25,6 +25,11 @@ import numpy as np
 # unconditionally and voids the latent (RESULTS.md round-3 image study).
 _SYNTH_SIZES = {"train": 24000, "val": 1000, "test": 1000}
 
+# At reference scale the generator's Python render loop costs ~10 s; memoize
+# per seed so repeated load_omniglot() calls in one process (tests, the
+# reconstruct CLI) pay it once. Callers treat the arrays as read-only.
+_SYNTH_CACHE: Dict[int, Dict[str, np.ndarray]] = {}
+
 
 def _as_prob_arrays(obj) -> Dict[str, np.ndarray]:
     """Normalize a loaded .pt/.npz payload to {split: float32 [N,28,28,1]}."""
@@ -62,7 +67,11 @@ def _render_glyph(strokes: np.ndarray, rng, ys, xs) -> np.ndarray:
         rx = 14 + (cy - 14) * np.sin(grot) + (cx - 14) * np.cos(grot)
         cy_ = ry + gdy + rng.normal(0, 0.7)
         cx_ = rx + gdx + rng.normal(0, 0.7)
-        ang_ = ang + grot + rng.normal(0, 0.1)
+        # the stroke axis (sin a, cos a) co-rotates with the center
+        # rotation above as R(grot)·(sin a, cos a) = (sin(a-grot),
+        # cos(a-grot)) — i.e. a MINUS grot; a+grot would shear the glyph
+        # instead of rigidly rotating it
+        ang_ = ang - grot + rng.normal(0, 0.1)
         l2 = l_ * rng.uniform(0.85, 1.15)
         w2 = w_ * rng.uniform(0.85, 1.15)
         dy, dx = ys - cy_, xs - cx_
@@ -83,6 +92,8 @@ def _synthetic_omniglot(seed: int = 783435) -> Dict[str, np.ndarray]:
     on unseen characters). The first generator (pure i.i.d. random strokes)
     had NO cross-image structure for z to encode, and both study arms
     degenerated on it (RESULTS.md round-3 image study)."""
+    if seed in _SYNTH_CACHE:
+        return _SYNTH_CACHE[seed]
     rng = np.random.RandomState(seed)
     ys, xs = np.mgrid[0:28, 0:28].astype(np.float32)
     protos = []
@@ -104,6 +115,7 @@ def _synthetic_omniglot(seed: int = 783435) -> Dict[str, np.ndarray]:
         for i in range(n):
             imgs[i, :, :, 0] = _render_glyph(ps[i % len(ps)], rng, ys, xs)
         out[split] = imgs
+    _SYNTH_CACHE[seed] = out
     return out
 
 
@@ -120,7 +132,14 @@ def load_omniglot(path: str = "datasets/omniglot_data/omniglot.pt",
             data = _as_prob_arrays(torch.load(path, map_location="cpu",
                                               weights_only=False))
     elif allow_synthetic:
-        data = _synthetic_omniglot(seed)
+        # reuse the npz ensure_omniglot_dataset() materialized (skips the
+        # ~10 s render loop across processes); else generate (memoized)
+        npz = os.path.join(os.path.dirname(path) or "datasets/omniglot_data",
+                           "omniglot_synthetic.npz")
+        if seed == 783435 and os.path.isfile(npz):
+            data = _as_prob_arrays(np.load(npz))
+        else:
+            data = _synthetic_omniglot(seed)
     else:
         raise FileNotFoundError(
             f"{path} not found; run prepare_data.py (needs network) or pass "
