@@ -162,3 +162,46 @@ def test_save_grid_layout(tmp_path):
     out = str(tmp_path / "g.png")
     cli_image.save_grid(imgs, out, ncols=3)
     assert os.path.isfile(out)
+
+
+def test_save_grid_png_pixel_roundtrip(tmp_path):
+    """The stdlib PNG encoder must be decodable and pixel-exact: distinct
+    gray levels land in the right grid cells, borders stay white."""
+    import struct
+    import zlib
+
+    imgs = np.zeros((2, 3, 3, 1), np.float32)
+    imgs[0] = 0.0
+    imgs[1] = 0.5
+    out = str(tmp_path / "rt.png")
+    cli_image.save_grid(imgs, out, ncols=2)
+
+    blob = open(out, "rb").read()
+    assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+    # walk chunks, checking CRCs
+    pos, idat, shape = 8, b"", None
+    while pos < len(blob):
+        (ln,) = struct.unpack(">I", blob[pos:pos + 4])
+        tag = blob[pos + 4:pos + 8]
+        payload = blob[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack(">I", blob[pos + 8 + ln:pos + 12 + ln])
+        assert crc == zlib.crc32(tag + payload), tag
+        if tag == b"IHDR":
+            w, h, depth, color = struct.unpack(">IIBB", payload[:10])
+            assert (depth, color) == (8, 0)  # 8-bit grayscale
+            shape = (h, w)
+        elif tag == b"IDAT":
+            idat += payload
+        pos += 12 + ln
+    h, w = shape
+    assert (h, w) == (1 * (3 + 2), 2 * (3 + 2))  # 1 row x 2 cols, 1px border
+    raw = zlib.decompress(idat)
+    rows = []
+    for r in range(h):
+        line = raw[r * (w + 1):(r + 1) * (w + 1)]
+        assert line[0] == 0  # filter type None
+        rows.append(np.frombuffer(line[1:], np.uint8))
+    px = np.stack(rows)
+    assert (px[1:4, 1:4] == 0).all()        # image 0: black
+    assert (px[1:4, 6:9] == 128).all()      # image 1: mid-gray (round(.5*255))
+    assert (px[0, :] == 255).all() and (px[:, 5] == 255).all()  # borders white
