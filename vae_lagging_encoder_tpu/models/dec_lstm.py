@@ -32,6 +32,7 @@ import numpy as np
 
 from ..data.vocab import BOS_ID, EOS_ID, PAD_ID
 from ..ops.ce_pallas import ce_fusable, fused_ce_logp
+from ..ops.vmem import pallas_available
 from .decoder import DecoderBase
 from .lstm_core import (init_lstm_params, lstm_bias, lstm_cell, lstm_run,
                         uniform)
@@ -67,7 +68,8 @@ class LSTMDecoder(DecoderBase):
         # peak to ~5 GB at yahoo dims — it keeps 10.
         if iw_chunk is None:
             iw_chunk = 20 if (backend == "pallas"
-                              and ce_fusable(nh, vocab_size)) else 10
+                              and ce_fusable(nh, vocab_size)
+                              and pallas_available()) else 10
         self.iw_chunk = iw_chunk
 
     def init(self, key) -> Dict:
@@ -148,7 +150,9 @@ class LSTMDecoder(DecoderBase):
 
         def rec_chunk(z_chunk, chunk_key):  # [B, k, nz] -> [B, k]
             k = z_chunk.shape[1]
-            if self.backend == "pallas" and ce_fusable(self.nh, self.vocab_size):
+            if (self.backend == "pallas"
+                    and ce_fusable(self.nh, self.vocab_size)
+                    and pallas_available()):
                 # Fused vocab-projection + CE (ops/ce_pallas.py): per-token
                 # target logp without materializing [k*B*(T-1), V] logits
                 # in HBM — used on BOTH the training and IW-eval paths.

@@ -106,7 +106,10 @@ def lstm_run(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
     if c0 is None:
         c0 = jnp.zeros((B, H), jnp.float32)
 
-    pallas_ok = backend == "pallas" and H % 128 == 0 and B % 8 == 0
+    from ..ops.vmem import pallas_available
+
+    pallas_ok = (backend == "pallas" and H % 128 == 0 and B % 8 == 0
+                 and pallas_available())
     # wh must be VMEM-resident for the whole sequence; above H=512 the
     # f32 matrix (16 MB at H=1024) oversubscribes VMEM, so drop the
     # weights (only) to bf16 — accumulation stays f32.

@@ -1,4 +1,4 @@
-"""Shared TPU kernel tuning constants.
+"""Shared TPU kernel tuning constants and availability probe.
 
 Single home for the VMEM budget handed to Mosaic so the LSTM and CE
 kernels can't silently diverge on a retune (VERDICT.md r2 "weak" #6).
@@ -9,3 +9,22 @@ physical VMEM of v5e/v6e cores for Mosaic's own buffers.
 """
 
 VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+
+
+def pallas_available() -> bool:
+    """Can the Mosaic kernels actually execute right now?
+
+    True on a TPU backend. On the CPU backend the kernels only run inside
+    ``pltpu.force_tpu_interpret_mode()`` (the oracle tests do this); plain
+    CPU execution — e.g. a CLI run with ``--jax_platform cpu`` while the
+    TPU is busy — must fall back to the scan/XLA paths, which are both
+    correct and far faster than interpret mode there."""
+    import jax
+
+    if jax.default_backend() != "cpu":
+        return True
+    try:
+        from jax._src.config import pallas_tpu_interpret_mode_context_manager
+        return pallas_tpu_interpret_mode_context_manager.value is not None
+    except Exception:  # private-API drift: be conservative on CPU
+        return False
