@@ -351,3 +351,22 @@ def test_beam_search_matches_exhaustive_oracle():
     assert best_seq is not None, "oracle found no EOS-terminated sequence"
     got = dec.beam_search_decode(params, z, beam_width=V_, max_len=L)[0]
     assert got == best_seq, (got, best_seq, best_score)
+
+
+def test_pallas_backend_falls_back_to_scan_off_tpu():
+    """backend='pallas' at kernel-eligible dims must NOT crash on the CPU
+    backend outside interpret mode (regression: --jax_platform cpu runs and
+    the driver's entry() compile-check on CPU) — the routing falls back to
+    scan, so results are bit-identical to backend='scan'."""
+    H_, B_, T_ = 128, 8, 5  # H % 128 == 0 and B % 8 == 0: kernel-eligible
+    rng = np.random.RandomState(11)
+    params = {"wx": jnp.asarray(rng.randn(NI, 4 * H_).astype(np.float32)) * 0.1,
+              "wh": jnp.asarray(rng.randn(H_, 4 * H_).astype(np.float32)) * 0.05,
+              "b": jnp.zeros((4 * H_,), jnp.float32)}
+    x = jnp.asarray(rng.randn(B_, T_, NI).astype(np.float32))
+
+    outs_p, (hT_p, cT_p) = lstm_run(params, x, backend="pallas")
+    outs_s, (hT_s, cT_s) = lstm_run(params, x, backend="scan")
+    np.testing.assert_array_equal(np.asarray(hT_p), np.asarray(hT_s))
+    np.testing.assert_array_equal(np.asarray(cT_p), np.asarray(cT_s))
+    np.testing.assert_array_equal(np.asarray(outs_p), np.asarray(outs_s))
