@@ -311,7 +311,8 @@ def test_posterior_mean_probes():
     assert np.isfinite(np.asarray(post_mean)).all()
 
 
-def test_beam_search_matches_exhaustive_oracle():
+@pytest.mark.parametrize("backend", ["host", "device"])
+def test_beam_search_matches_exhaustive_oracle(backend):
     """VERDICT r1 weak #7: beam search vs a tiny-vocab EXHAUSTIVE oracle.
 
     V=6, max_len=4: enumerate every token sequence, score complete ones
@@ -349,8 +350,52 @@ def test_beam_search_matches_exhaustive_oracle():
                 best_score, best_seq = norm, [BOS_ID] + list(s)
 
     assert best_seq is not None, "oracle found no EOS-terminated sequence"
-    got = dec.beam_search_decode(params, z, beam_width=V_, max_len=L)[0]
+    got = dec.beam_search_decode(params, z, beam_width=V_, max_len=L,
+                                 backend=backend)[0]
     assert got == best_seq, (got, best_seq, best_score)
+
+
+def test_beam_device_matches_host():
+    """The batched on-device beam search must reproduce the host loop's
+    hypotheses across random models / beam widths / vocab sizes. Floating-
+    point near-ties are the one tolerated divergence: the host accumulates
+    beam scores in python float64, the device in f32, so hypotheses whose
+    normalized scores agree to ~1e-5 may swap — in that case require the
+    score gap (teacher-forced rescoring of both sequences) to be tiny."""
+
+    def rescore(dec, params, z_row, seq):
+        toks_in = jnp.asarray([seq[:-1]], dtype=jnp.int32)
+        logits = dec.decode(params, toks_in,
+                            jnp.broadcast_to(z_row[None, None],
+                                             (1, 1, z_row.shape[-1])))
+        lp = np.asarray(jax.nn.log_softmax(logits[0, 0], -1))
+        return sum(float(lp[t, seq[t + 1]])
+                   for t in range(len(seq) - 1)) / len(seq)
+
+    mismatched = 0
+    for seed in range(6):
+        rng = np.random.RandomState(seed)
+        V_ = int(rng.choice([6, 11, 30]))
+        W_ = int(rng.choice([1, 2, 3, 5, V_]))
+        L_ = int(rng.choice([4, 7, 12]))
+        dec = LSTMDecoder(V_, 8, 16, 2, dropout_in=0.0, dropout_out=0.0)
+        params = dec.init(jax.random.PRNGKey(seed))
+        params["pred"] = params["pred"] * rng.choice([5.0, 20.0, 40.0])
+        z = jnp.asarray(rng.randn(5, 2).astype(np.float32) * 2)
+        host = dec.beam_search_decode(params, z, beam_width=W_, max_len=L_,
+                                      backend="host")
+        dev = dec.beam_search_decode(params, z, beam_width=W_, max_len=L_,
+                                     backend="device")
+        for n, (h, d) in enumerate(zip(host, dev)):
+            if h == d:
+                continue
+            mismatched += 1
+            gap = abs(rescore(dec, params, z[n], h)
+                      - rescore(dec, params, z[n], d))
+            assert gap < 1e-4, (seed, n, h, d, gap)
+            assert d[0] == BOS_ID
+    # near-ties must stay the exception, not the rule
+    assert mismatched <= 3, mismatched
 
 
 def test_pallas_backend_falls_back_to_scan_off_tpu():

@@ -49,7 +49,8 @@ def generate(cfg, args, log) -> int:
     """Prior sampling / test-set reconstruction from a checkpoint.
 
     Parity: <ref>vae.py §sample_from_prior/§reconstruct driven from the
-    experiment script; greedy/sample decode run on device, beam on host.
+    experiment script; greedy/sample AND beam decode all run on device
+    (batched beam search — models/dec_lstm.py::_beam_search_batched).
     """
     import jax
 

@@ -19,8 +19,9 @@ TPU-first notes:
   z-sample axis is processed in ``lax.map`` chunks under
   ``jax.checkpoint`` so peak HBM stays bounded (SURVEY.md §7 hard part 4);
 - greedy/sampling decode loops are on-device ``lax.fori_loop``s with static
-  max length; beam search stays host-side (parity with the reference's
-  host loops, off the training path — SURVEY.md §7 hard part 7).
+  max length; beam search runs batched on device as one ``lax.while_loop``
+  program (``_beam_search_batched``), with the host-side per-row loop kept
+  as the parity oracle (SURVEY.md §7 hard part 7).
 """
 from __future__ import annotations
 
@@ -251,7 +252,33 @@ class LSTMDecoder(DecoderBase):
         return self._generate(params, z, key, max_len, greedy=False)
 
     def beam_search_decode(self, params, z: jnp.ndarray, beam_width: int = 5,
-                           max_len: int = 100) -> List[List[int]]:
+                           max_len: int = 100,
+                           backend: str = "device") -> List[List[int]]:
+        """Beam search over a batch of latents.
+
+        Parity: <ref>dec_lstm.py §beam_search_decode (BeamSearchNode loop).
+        Two implementations with identical semantics (tested equal on random
+        models, tests/test_models.py):
+
+        - ``backend='device'`` (default): the whole search — all N rows ×
+          beam_width beams — runs as ONE jitted ``lax.while_loop``, with the
+          per-step candidate sort/expansion vectorized (``lax.top_k`` over
+          the beam×token grid and a cumulative-sum prefix assignment
+          replacing the reference's host-side sort-and-break loop). One
+          device dispatch per call instead of N×max_len×beam_width.
+        - ``backend='host'``: a per-row Python loop mirroring the
+          reference's algorithm statement line by line; kept as the
+          correctness oracle and for environments without jit.
+        """
+        if backend == "device":
+            toks, lens = _beam_search_batched(
+                self, params, jnp.asarray(z), beam_width, max_len)
+            toks, lens = np.asarray(toks), np.asarray(lens)
+            return [list(map(int, toks[n, :lens[n]])) for n in range(len(lens))]
+        return self._beam_search_host(params, z, beam_width, max_len)
+
+    def _beam_search_host(self, params, z: jnp.ndarray, beam_width: int = 5,
+                          max_len: int = 100) -> List[List[int]]:
         """Host-side beam search, one row of z at a time (parity with the
         reference's BeamSearchNode loop; off the training path)."""
         z = np.asarray(z)
@@ -297,3 +324,157 @@ class LSTMDecoder(DecoderBase):
         h, c = lstm_cell(h, c, xw, params["lstm"]["wh"], self.compute_dtype)
         logits = jnp.dot(h, params["pred"], preferred_element_type=jnp.float32)
         return jax.nn.log_softmax(logits, axis=-1), h, c
+
+
+from functools import partial  # noqa: E402  (kept near its sole user)
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def _beam_search_batched(dec: LSTMDecoder, params, z: jnp.ndarray,
+                         beam_width: int, max_len: int):
+    """All-rows, all-beams beam search as ONE ``lax.while_loop`` program.
+
+    Returns ``(toks [N, max_len+1], lens [N])`` — row n's hypothesis is
+    ``toks[n, :lens[n]]``, starting with BOS and ending with EOS when one
+    finished within ``max_len`` steps.
+
+    Semantics mirror the host loop (``_beam_search_host``) step for step:
+    merge every live beam's top-``beam_width`` continuations, sort by total
+    logp, truncate to ``2*beam_width`` (the reference's candidate window),
+    then scan that window in score order — EOS-ending candidates become
+    finished hypotheses scored by length-normalized logp, the rest refill
+    the live-beam slots, stopping once ``beam_width`` slots are filled; a
+    row terminates when ``beam_width`` hypotheses have finished or no live
+    beam remains. The host's sort-and-break loop is replaced by a
+    cumulative-sum prefix assignment over the sorted window, so the whole
+    search is a single device dispatch instead of N×max_len×beam_width.
+
+    (Candidates whose total logp is exactly -inf — zero-probability
+    continuations — are dropped rather than kept at the sort tail; the
+    host loop would keep them, but they are unreachable in every non-
+    degenerate model and the oracle tests pin equality on real ones.)
+    """
+    V = dec.vocab_size
+    K = W = int(beam_width)
+    N = z.shape[0]
+    C1 = min(W, V)            # per-beam expansions (host: top-W / whole tiny vocab)
+    C2 = min(2 * W, K * C1)   # sorted candidate window (host: cand[:2W])
+    T = max_len + 1           # BOS + at most max_len generated tokens
+    NEG = jnp.float32(-jnp.inf)
+
+    wx, wh, b = (params["lstm"]["wx"], params["lstm"]["wh"],
+                 lstm_bias(params["lstm"]))
+    h0, c0 = dec._init_state(params, z)           # [N, nh]
+
+    def expand(a):  # [N, ...] -> [N, K, ...] beam copies
+        return jnp.broadcast_to(a[:, None], (N, K) + a.shape[1:])
+
+    z_rep = expand(z).reshape(N * K, -1)
+    slot0 = jnp.broadcast_to(jnp.arange(K) == 0, (N, K))
+
+    carry0 = dict(
+        t=jnp.int32(0),
+        toks=jnp.full((N, K, T), PAD_ID, jnp.int32).at[:, :, 0].set(BOS_ID),
+        lens=jnp.ones((N, K), jnp.int32),
+        lp=jnp.where(slot0, 0.0, NEG),
+        live=slot0,
+        last=jnp.full((N, K), BOS_ID, jnp.int32),
+        h=expand(h0), c=expand(c0),
+        done_count=jnp.zeros((N,), jnp.int32),
+        best_score=jnp.full((N,), NEG),
+        best_toks=jnp.full((N, T), PAD_ID, jnp.int32),
+        best_len=jnp.zeros((N,), jnp.int32),
+        finished=jnp.zeros((N,), bool),
+    )
+
+    def step(s):
+        # one dense LSTM step for every (row, beam) — dead beams ride along
+        x = jnp.concatenate([params["emb"][s["last"].reshape(-1)], z_rep], -1)
+        xw = jnp.dot(x, wx, preferred_element_type=jnp.float32) + b
+        h2, c2 = lstm_cell(s["h"].reshape(N * K, -1),
+                           s["c"].reshape(N * K, -1), xw, wh, dec.compute_dtype)
+        logits = jnp.dot(h2, params["pred"],
+                         preferred_element_type=jnp.float32)
+        logp = jax.nn.log_softmax(logits, -1).reshape(N, K, V)
+        h2, c2 = h2.reshape(N, K, -1), c2.reshape(N, K, -1)
+
+        top_lp, top_tok = jax.lax.top_k(logp, C1)            # [N, K, C1]
+        cand = jnp.where(s["live"][:, :, None],
+                         s["lp"][:, :, None] + top_lp, NEG)
+        cs, ci = jax.lax.top_k(cand.reshape(N, K * C1), C2)  # [N, C2] desc
+        beam_i = ci // C1
+        tok_i = jnp.take_along_axis(top_tok.reshape(N, K * C1), ci, 1)
+
+        valid = cs > NEG
+        is_eos = valid & (tok_i == EOS_ID)
+        live_inc = valid & (tok_i != EOS_ID)
+        cum_excl = jnp.cumsum(live_inc.astype(jnp.int32), 1) - live_inc
+        processed = cum_excl < W          # host stops once W live slots fill
+
+        # refill the K live-beam slots from the processed prefix
+        sel = processed & live_inc
+        slot_match = sel[:, None, :] & (cum_excl[:, None, :]
+                                        == jnp.arange(K)[None, :, None])
+        has = slot_match.any(-1)                             # [N, K]
+        src = jnp.argmax(slot_match, -1)                     # index into C2
+        parent = jnp.take_along_axis(beam_i, src, 1)
+        new_tok = jnp.take_along_axis(tok_i, src, 1)
+        new_lp = jnp.where(has, jnp.take_along_axis(cs, src, 1), NEG)
+        p3 = parent[:, :, None]
+        new_toks = jnp.take_along_axis(s["toks"], p3, 1)
+        new_lens = jnp.take_along_axis(s["lens"], parent, 1)
+        new_toks = jnp.where(jnp.arange(T)[None, None] == new_lens[:, :, None],
+                             new_tok[:, :, None], new_toks)
+        new_lens = new_lens + 1
+
+        # finished hypotheses: EOS candidates within the processed prefix,
+        # scored by length-normalized total logp (len counts BOS..EOS)
+        eos_sel = processed & is_eos
+        cand_len = jnp.take_along_axis(s["lens"], beam_i, 1) + 1
+        norm = jnp.where(eos_sel, cs / cand_len, NEG)
+        step_best = norm.max(1)
+        bi = jnp.argmax(norm, 1)
+        bparent = jnp.take_along_axis(beam_i, bi[:, None], 1)[:, 0]
+        btoks = jnp.take_along_axis(s["toks"], bparent[:, None, None],
+                                    1)[:, 0]
+        blen = jnp.take_along_axis(s["lens"], bparent[:, None], 1)[:, 0]
+        btoks = jnp.where(jnp.arange(T)[None] == blen[:, None], EOS_ID, btoks)
+        improve = (step_best > s["best_score"]) & ~s["finished"]
+
+        done_count = s["done_count"] + jnp.where(s["finished"], 0,
+                                                 eos_sel.sum(1))
+        finished = s["finished"] | (done_count >= W) | ~has.any(1)
+
+        frz = s["finished"]                 # rows frozen BEFORE this step
+        def keep(old, new):
+            return jnp.where(frz.reshape((N,) + (1,) * (new.ndim - 1)),
+                             old, new)
+        return dict(
+            t=s["t"] + 1,
+            toks=keep(s["toks"], new_toks),
+            lens=keep(s["lens"], new_lens),
+            lp=keep(s["lp"], new_lp),
+            live=keep(s["live"], has),
+            last=keep(s["last"], new_tok),
+            h=keep(s["h"], jnp.take_along_axis(h2, p3, 1)),
+            c=keep(s["c"], jnp.take_along_axis(c2, p3, 1)),
+            done_count=done_count,
+            best_score=jnp.where(improve, step_best, s["best_score"]),
+            best_toks=jnp.where(improve[:, None], btoks, s["best_toks"]),
+            best_len=jnp.where(improve, blen + 1, s["best_len"]),
+            finished=finished,
+        )
+
+    final = jax.lax.while_loop(
+        lambda s: (s["t"] < max_len) & ~s["finished"].all(), step, carry0)
+
+    # rows with no finished hypothesis fall back to the best live beam,
+    # normalized by its current length (host: `if not done: done = beams`)
+    live_norm = jnp.where(final["live"],
+                          final["lp"] / final["lens"], NEG)
+    li = jnp.argmax(live_norm, 1)
+    ltoks = jnp.take_along_axis(final["toks"], li[:, None, None], 1)[:, 0]
+    llen = jnp.take_along_axis(final["lens"], li[:, None], 1)[:, 0]
+    use_done = final["done_count"] > 0
+    return (jnp.where(use_done[:, None], final["best_toks"], ltoks),
+            jnp.where(use_done, final["best_len"], llen))
