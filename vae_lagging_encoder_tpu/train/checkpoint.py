@@ -92,14 +92,37 @@ class _NumpyOnlyUnpickler(pickle.Unpickler):
 
 
 def load_checkpoint(path: str) -> Tuple[Any, Dict[str, Any]]:
+    """Load a checkpoint in any of the formats a user may arrive with:
+
+    - this framework's ``.npz`` archive (the current format);
+    - this framework's legacy round-1 pickle (restricted unpickler);
+    - a REFERENCE ``torch.save(vae.state_dict())`` file — detected by the
+      torch zip layout (``data.pkl`` member) or the legacy torch magic,
+      converted on the fly via ``utils.torch_import`` so ``--load_path
+      reference_model.pt`` works directly for eval/generation/fine-tuning.
+    """
     with open(path, "rb") as fh:
         magic = fh.read(4)
-    if magic[:2] == b"PK":  # npz (zip) — the current format
+    if magic[:2] == b"PK":  # zip: ours (.npz) or a modern torch archive
+        import zipfile
+        with zipfile.ZipFile(path) as zf:
+            is_torch = any(n.endswith("data.pkl") for n in zf.namelist())
+        if is_torch:
+            from ..utils.torch_import import load_torch_checkpoint
+            return load_torch_checkpoint(path)
         with np.load(path, allow_pickle=False) as z:
             arrays = {k: z[k] for k in z.files if k != "__tree__"}
             skel = json.loads(z["__tree__"].tobytes().decode("utf-8"))
         state = _decode(skel, arrays)
-    else:  # legacy round-1 pickle
-        with open(path, "rb") as fh:
-            state = _NumpyOnlyUnpickler(fh).load()
+    else:  # legacy round-1 pickle, or a legacy (pre-1.6) torch save
+        try:
+            with open(path, "rb") as fh:
+                state = _NumpyOnlyUnpickler(fh).load()
+            if not (isinstance(state, dict) and "params" in state):
+                # a legacy torch save's first pickle is its magic number,
+                # which unpickles "fine" but is not our state dict
+                raise pickle.UnpicklingError("not a framework checkpoint")
+        except pickle.UnpicklingError:
+            from ..utils.torch_import import load_torch_checkpoint
+            return load_torch_checkpoint(path)
     return state["params"], state.get("extra", {})
