@@ -130,6 +130,26 @@ def test_zero_bias_dropped_nonzero_rejected():
         import_torch_state_dict(sd)
 
 
+def test_export_roundtrip_and_cli(tmp_path, capsys):
+    """Export (ours -> reference-style state_dict) inverts the import
+    exactly, and the CLI infers the export direction from a native input."""
+    from vae_lagging_encoder_tpu.utils.torch_import import \
+        export_torch_state_dict
+
+    _, params = _make_params(seed=6)
+    sd = export_torch_state_dict(params)
+    assert set(sd) == set(_reference_state_dict(params))
+    _assert_tree_equal(params, import_torch_state_dict(sd))
+
+    ck, pt = str(tmp_path / "model.ckpt"), str(tmp_path / "back.pt")
+    save_checkpoint(ck, params, {})
+    assert import_main([ck, pt]) == 0
+    assert "exported" in capsys.readouterr().out
+    got = torch.load(pt, weights_only=True)
+    for k, v in sd.items():
+        assert torch.equal(got[k], v), k
+
+
 def test_image_and_multilayer_rejected(tmp_path):
     _, params = _make_params(seed=5)
     sd = _reference_state_dict(params)

@@ -193,23 +193,67 @@ def load_torch_checkpoint(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     return params, {"imported_from": path, "format": "torch_state_dict"}
 
 
+def export_torch_state_dict(params: Dict[str, Any]) -> Dict[str, Any]:
+    """This framework's text-VAE pytree -> a reference-style state_dict.
+
+    The inverse of :func:`import_torch_state_dict`, so a model trained (or
+    fine-tuned) here can go back into the PyTorch reference — or be
+    inspected with torch tooling. Key names are the reference module
+    tree's most likely names ([MED] while the mount is empty:
+    ``embed``/``linear``/``trans_linear``/``pred_linear``, SURVEY.md §2);
+    the importer accepts them back regardless, because its matching is
+    structural (round-trip is tested exact).
+    """
+    import torch
+
+    def t(a):
+        # explicit copy: np.asarray on a jax array yields a non-writable
+        # view, which torch.from_numpy warns about (and would alias)
+        return torch.from_numpy(np.array(a, dtype=np.float32, copy=True))
+
+    sd: Dict[str, Any] = {}
+    for side, p in (("encoder", params["enc"]), ("decoder", params["dec"])):
+        sd[f"{side}.embed.weight"] = t(p["emb"])
+        sd[f"{side}.lstm.weight_ih_l0"] = t(p["lstm"]["wx"].T)
+        sd[f"{side}.lstm.weight_hh_l0"] = t(p["lstm"]["wh"].T)
+        sd[f"{side}.lstm.bias_ih_l0"] = t(p["lstm"]["b_ih"])
+        sd[f"{side}.lstm.bias_hh_l0"] = t(p["lstm"]["b_hh"])
+    sd["encoder.linear.weight"] = t(params["enc"]["linear"].T)
+    sd["decoder.trans_linear.weight"] = t(params["dec"]["trans"].T)
+    sd["decoder.pred_linear.weight"] = t(params["dec"]["pred"].T)
+    return sd
+
+
 def main(argv: List[str] | None = None) -> int:
-    """CLI: ``python -m vae_lagging_encoder_tpu.utils.torch_import in.pt
-    out.ckpt`` — converts a reference checkpoint to this framework's npz
-    format once (the direct ``--load_path in.pt`` route also works; this
-    tool is for keeping a converted copy)."""
+    """CLI: ``python -m vae_lagging_encoder_tpu.utils.torch_import IN OUT``.
+
+    Direction is inferred from IN's format:
+    - IN is a reference ``torch.save`` file -> OUT is written in this
+      framework's npz format (the direct ``--load_path in.pt`` route also
+      works; this tool is for keeping a converted copy);
+    - IN is one of this framework's checkpoints -> OUT is written as a
+      reference-style ``torch.save(state_dict)`` (text models only).
+    """
     import argparse
 
-    from ..train.checkpoint import save_checkpoint
+    from ..train.checkpoint import load_checkpoint, save_checkpoint
 
     p = argparse.ArgumentParser(description=main.__doc__)
-    p.add_argument("torch_ckpt")
+    p.add_argument("in_ckpt")
     p.add_argument("out_ckpt")
     a = p.parse_args(argv)
-    params, extra = load_torch_checkpoint(a.torch_ckpt)
-    save_checkpoint(a.out_ckpt, params, extra)
+
+    # load_checkpoint handles every format and tags torch inputs
+    params, extra = load_checkpoint(a.in_ckpt)
+    if extra.get("format") == "torch_state_dict":
+        save_checkpoint(a.out_ckpt, params, extra)
+        verb = "imported"
+    else:
+        import torch
+        torch.save(export_torch_state_dict(params), a.out_ckpt)
+        verb = "exported"
     V, ni = params["enc"]["emb"].shape
-    print(f"imported {a.torch_ckpt} -> {a.out_ckpt} "
+    print(f"{verb} {a.in_ckpt} -> {a.out_ckpt} "
           f"(V={V}, ni={ni}, enc_nh={params['enc']['lstm']['wh'].shape[0]}, "
           f"dec_nh={params['dec']['lstm']['wh'].shape[0]}, "
           f"nz={params['enc']['linear'].shape[1] // 2})")
