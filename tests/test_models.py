@@ -355,6 +355,29 @@ def test_beam_search_matches_exhaustive_oracle(backend):
     assert got == best_seq, (got, best_seq, best_score)
 
 
+def test_topk_small_matches_lax_topk():
+    """The beam search's argmax-pass top-k (3.6 -> 0.68 ms on TPU at
+    [160, 20004] k=5) must equal lax.top_k exactly — values, indices, and
+    tie order — including duplicate values and all(-inf) rows."""
+    from vae_lagging_encoder_tpu.models.dec_lstm import _topk_small
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(7, 3, 2000).astype(np.float32)
+    x[0, 0, 100:110] = x[0, 0, 50]          # duplicates across positions
+    x[1, 1, :] = -np.inf                    # dead-beam row
+    x[2, 2, ::2] = 3.25                     # many exact ties
+    xj = jnp.asarray(x)
+    for k in (1, 5, 15):
+        v1, i1 = _topk_small(xj, k)
+        v2, i2 = jax.lax.top_k(xj, k)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2), str(k))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2), str(k))
+    # the fallback path (short axis / big k) is top_k itself
+    v1, i1 = _topk_small(xj[..., :512], 2)
+    v2, i2 = jax.lax.top_k(xj[..., :512], 2)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
 def test_beam_device_matches_host():
     """The batched on-device beam search must reproduce the host loop's
     hypotheses across random models / beam widths / vocab sizes. Floating-

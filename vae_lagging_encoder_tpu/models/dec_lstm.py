@@ -329,6 +329,36 @@ class LSTMDecoder(DecoderBase):
 from functools import partial  # noqa: E402  (kept near its sole user)
 
 
+def _topk_small(x: jnp.ndarray, k: int):
+    """Exact top-k over the last axis via k argmax+mask passes.
+
+    XLA's ``lax.top_k`` lowers to a sort on TPU — measured 3.6 ms for
+    [160, 20004] k=5 where the producing matmul is 0.66 ms; k linear max
+    passes cost 0.68 ms (RESULTS.md round 3). Semantics match ``top_k``
+    exactly, including tie order (``argmax`` takes the lowest index first,
+    and the mask removes only that position). Falls back to ``top_k``
+    where the sort is not the bottleneck (large k or short axes).
+    """
+    if k >= 16 or x.shape[-1] <= 1024:
+        return jax.lax.top_k(x, k)
+    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    vals, idxs = [], []
+    cur, taken = x, jnp.zeros(x.shape, bool)
+    for _ in range(k):
+        i = jnp.argmax(cur, -1)
+        v = jnp.take_along_axis(cur, i[..., None], -1)[..., 0]
+        # when every untaken value is -inf, masking can't separate taken
+        # from untaken (both -inf) and argmax sticks at 0; top_k's tie
+        # order there is ascending index — i.e. the first untaken slot
+        i = jnp.where(jnp.isneginf(v), jnp.argmax(~taken, -1), i)
+        vals.append(v)
+        idxs.append(i)
+        hit = iota == i[..., None]
+        cur = jnp.where(hit, -jnp.inf, cur)
+        taken = taken | hit
+    return jnp.stack(vals, -1), jnp.stack(idxs, -1)
+
+
 @partial(jax.jit, static_argnums=(0, 3, 4))
 def _beam_search_batched(dec: LSTMDecoder, params, z: jnp.ndarray,
                          beam_width: int, max_len: int):
@@ -398,7 +428,7 @@ def _beam_search_batched(dec: LSTMDecoder, params, z: jnp.ndarray,
         logp = jax.nn.log_softmax(logits, -1).reshape(N, K, V)
         h2, c2 = h2.reshape(N, K, -1), c2.reshape(N, K, -1)
 
-        top_lp, top_tok = jax.lax.top_k(logp, C1)            # [N, K, C1]
+        top_lp, top_tok = _topk_small(logp, C1)              # [N, K, C1]
         cand = jnp.where(s["live"][:, :, None],
                          s["lp"][:, :, None] + top_lp, NEG)
         cs, ci = jax.lax.top_k(cand.reshape(N, K * C1), C2)  # [N, C2] desc
