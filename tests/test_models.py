@@ -355,6 +355,16 @@ def test_beam_search_matches_exhaustive_oracle(backend):
     assert got == best_seq, (got, best_seq, best_score)
 
 
+def test_beam_unknown_backend_raises():
+    """A backend typo must fail fast, not silently pick the ~10000x
+    slower host loop."""
+    dec = LSTMDecoder(6, 4, 5, 2, dropout_in=0.0, dropout_out=0.0)
+    params = dec.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="backend"):
+        dec.beam_search_decode(params, jnp.zeros((1, 2)), beam_width=2,
+                               max_len=3, backend="devcie")
+
+
 def test_topk_small_matches_lax_topk():
     """The beam search's argmax-pass top-k (3.6 -> 0.68 ms on TPU at
     [160, 20004] k=5) must equal lax.top_k exactly — values, indices, and

@@ -164,3 +164,27 @@ def test_image_and_multilayer_rejected(tmp_path):
 
     with pytest.raises(ValueError, match="encoder"):
         import_torch_state_dict({"decoder.x": torch.zeros(2, 2)})
+
+
+def test_unrecognized_1d_params_rejected():
+    """A leftover 1-D parameter (e.g. a LayerNorm) must fail loudly, not
+    be silently dropped into a lossy import; all-zero stray biases are the
+    one tolerated leftover."""
+    _, params = _make_params(seed=7)
+    sd = _reference_state_dict(params)
+    sd["encoder.norm.weight"] = torch.ones(ENC_NH)
+    with pytest.raises(ValueError, match="unrecognized"):
+        import_torch_state_dict(sd)
+
+    sd = _reference_state_dict(params)
+    sd["encoder.stray.bias"] = torch.zeros(ENC_NH)   # zero bias: tolerated
+    _assert_tree_equal(params, import_torch_state_dict(sd))
+
+
+def test_export_rejects_image_pytree():
+    from vae_lagging_encoder_tpu.utils.torch_import import \
+        export_torch_state_dict
+
+    with pytest.raises(NotImplementedError, match="text-family"):
+        export_torch_state_dict({"enc": {"conv": np.zeros((3, 3, 1, 4))},
+                                 "dec": {}})

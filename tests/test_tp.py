@@ -154,6 +154,25 @@ def test_tp_eval_matches_vae_loss():
                        [float(x) for x in total], atol=1e-4)
 
 
+def test_tp_clip_zeroes_nonfinite_grads():
+    """An overflowing batch must zero the step (params unchanged), exactly
+    like optim.clip_by_global_norm's guard — not NaN-poison the params via
+    0 * inf (code-review r3 finding)."""
+    vae, params, tokens, mask, rw = _setup(dropout=0.0, seed=5)
+    # blow up the output projection so the first step's grads overflow
+    params = dict(params, dec=dict(params["dec"],
+                                   pred=params["dec"]["pred"] * 1e38))
+    mesh = make_tp_mesh(1, 4)
+    step = make_tp_train_step(vae, CFG, mesh)
+    sp = shard_params(mesh, jax.tree.map(jnp.array, params))
+    before = jax.tree.map(np.asarray, params)
+    new_p, _ = step(sp, jax.random.PRNGKey(0), tokens, mask, rw,
+                    jnp.float32(1.0), jnp.float32(1.0))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(new_p):
+        assert np.isfinite(np.asarray(leaf)).all(), path
+    assert _diff(new_p, before) == 0.0  # zeroed step: params unchanged
+
+
 def test_vocab_not_divisible_raises():
     vae, params, tokens, mask, rw = _setup(dropout=0.0, seed=4)
     mesh = make_tp_mesh(1, 8)  # 48 % 8 == 0 is fine; use a 5-way... 8 ok

@@ -275,6 +275,8 @@ class LSTMDecoder(DecoderBase):
                 self, params, jnp.asarray(z), beam_width, max_len)
             toks, lens = np.asarray(toks), np.asarray(lens)
             return [list(map(int, toks[n, :lens[n]])) for n in range(len(lens))]
+        if backend != "host":  # a typo must not silently pick the slow loop
+            raise ValueError(f"unknown beam backend {backend!r}")
         return self._beam_search_host(params, z, beam_width, max_len)
 
     def _beam_search_host(self, params, z: jnp.ndarray, beam_width: int = 5,

@@ -182,15 +182,22 @@ def _tp_loss(vae, params, key, tokens, mask, row_weight, kl_weight,
 
 def _clip_tp(grads, max_norm: float, axis: str = "tp"):
     """Global-norm clip where ``dec.pred`` is sharded over ``axis``: its
-    sum-of-squares is psum'd so all devices see the same norm and scale."""
+    sum-of-squares is psum'd so all devices see the same norm and scale.
+    Same formula AND non-finite guard as ``optim.clip_by_global_norm``
+    (an overflowing batch zeroes the step instead of NaN-poisoning params
+    via 0*inf), so tp=1 reproduces the DP step exactly — including on the
+    overflow branch."""
     pred = grads["dec"]["pred"]
     rest = {**grads, "dec": {k: v for k, v in grads["dec"].items()
                              if k != "pred"}}
     sumsq = sum(jnp.sum(jnp.square(g)) for g in jax.tree.leaves(rest))
     sumsq = sumsq + jax.lax.psum(jnp.sum(jnp.square(pred)), axis)
     norm = jnp.sqrt(sumsq)
-    scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
-    return jax.tree.map(lambda g: g * scale, grads), norm
+    scale = jnp.where(jnp.isfinite(norm),
+                      jnp.minimum(1.0, max_norm / (norm + 1e-6)), 0.0)
+    return jax.tree.map(
+        lambda g: jnp.where(jnp.isfinite(norm), g * scale, 0.0),
+        grads), norm
 
 
 def make_tp_train_step(vae, cfg, mesh: Mesh) -> Callable:

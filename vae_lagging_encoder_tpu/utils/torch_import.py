@@ -164,8 +164,14 @@ def import_torch_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     dec_emb = _pop_role(dec, "embedding",
                         lambda s: s == (V, ni), ("emb",), "decoder")
 
-    leftovers = [k for k, v in list(enc.items()) + list(dec.items())
-                 if v.ndim >= 2]
+    # Anything left is a parameter this model has no slot for. All-zero
+    # biases are the one tolerated leftover (identical math without them);
+    # everything else — including 1-D params like a LayerNorm's — would
+    # make the import silently lossy, so reject loudly.
+    leftovers = [f"{side}.{k}"
+                 for side, d_ in (("encoder", enc), ("decoder", dec))
+                 for k, v in d_.items()
+                 if not (k.endswith(".bias") and not np.any(v))]
     if leftovers:
         raise ValueError(f"unrecognized reference params: {leftovers}")
 
@@ -205,6 +211,15 @@ def export_torch_state_dict(params: Dict[str, Any]) -> Dict[str, Any]:
     structural (round-trip is tested exact).
     """
     import torch
+
+    if not (isinstance(params, dict)
+            and "lstm" in params.get("enc", {})
+            and "lstm" in params.get("dec", {})):
+        raise NotImplementedError(
+            "only text-family checkpoints (LSTM enc/dec) can be exported to "
+            "the reference format; this pytree looks like the OmniGlot "
+            "ResNet/PixelCNN model, whose reference layer names are "
+            "unverifiable (SURVEY.md §2 [MED])")
 
     def t(a):
         # explicit copy: np.asarray on a jax array yields a non-writable
