@@ -219,31 +219,14 @@ class LSTMDecoder(DecoderBase):
     # §beam_search_decode. Greedy/sample run fully on device.
     def _generate(self, params, z: jnp.ndarray, key: Optional[jax.Array],
                   max_len: int, greedy: bool) -> jnp.ndarray:
-        """z [N, nz] → token ids [N, max_len] (starts after <s>; pads after </s>)."""
-        N = z.shape[0]
-        h, c = self._init_state(params, z)
-        wx, wh, b = (params["lstm"]["wx"], params["lstm"]["wh"],
-                     lstm_bias(params["lstm"]))
+        """z [N, nz] → token ids [N, max_len] (starts after <s>; pads after </s>).
 
-        def step(carry, t):
-            h, c, tok, done, k = carry
-            x = jnp.concatenate([params["emb"][tok], z], axis=-1)
-            xw = jnp.dot(x, wx, preferred_element_type=jnp.float32) + b
-            h, c = lstm_cell(h, c, xw, wh, self.compute_dtype)
-            logits = jnp.dot(h, params["pred"], preferred_element_type=jnp.float32)
-            if greedy:
-                nxt = jnp.argmax(logits, axis=-1)
-            else:
-                k, sub = jax.random.split(k)
-                nxt = jax.random.categorical(sub, logits, axis=-1)
-            nxt = jnp.where(done, PAD_ID, nxt).astype(jnp.int32)
-            done = done | (nxt == EOS_ID)
-            return (h, c, nxt, done, k), nxt
-
-        init = (h, c, jnp.full((N,), BOS_ID, jnp.int32),
-                jnp.zeros((N,), bool), key if key is not None else jax.random.PRNGKey(0))
-        _, toks = jax.lax.scan(step, init, jnp.arange(max_len))
-        return toks.T  # [N, max_len]
+        Dispatched through a module-level jit: an UN-jitted ``lax.scan``
+        executes one device dispatch per op per token — measured 917 ms
+        for 32 greedy rows over the TPU tunnel vs 33 ms compiled
+        (RESULTS.md round 3).
+        """
+        return _generate_jit(self, params, z, key, max_len, greedy)
 
     def greedy_decode(self, params, z: jnp.ndarray, max_len: int = 100) -> jnp.ndarray:
         return self._generate(params, z, None, max_len, greedy=True)
@@ -329,6 +312,38 @@ class LSTMDecoder(DecoderBase):
 
 
 from functools import partial  # noqa: E402  (kept near its sole user)
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5))
+def _generate_jit(dec: "LSTMDecoder", params, z: jnp.ndarray,
+                  key: Optional[jax.Array], max_len: int,
+                  greedy: bool) -> jnp.ndarray:
+    """Whole greedy/ancestral decode as ONE compiled ``lax.scan`` program."""
+    N = z.shape[0]
+    h, c = dec._init_state(params, z)
+    wx, wh, b = (params["lstm"]["wx"], params["lstm"]["wh"],
+                 lstm_bias(params["lstm"]))
+
+    def step(carry, t):
+        h, c, tok, done, k = carry
+        x = jnp.concatenate([params["emb"][tok], z], axis=-1)
+        xw = jnp.dot(x, wx, preferred_element_type=jnp.float32) + b
+        h, c = lstm_cell(h, c, xw, wh, dec.compute_dtype)
+        logits = jnp.dot(h, params["pred"], preferred_element_type=jnp.float32)
+        if greedy:
+            nxt = jnp.argmax(logits, axis=-1)
+        else:
+            k, sub = jax.random.split(k)
+            nxt = jax.random.categorical(sub, logits, axis=-1)
+        nxt = jnp.where(done, PAD_ID, nxt).astype(jnp.int32)
+        done = done | (nxt == EOS_ID)
+        return (h, c, nxt, done, k), nxt
+
+    init = (h, c, jnp.full((N,), BOS_ID, jnp.int32),
+            jnp.zeros((N,), bool),
+            key if key is not None else jax.random.PRNGKey(0))
+    _, toks = jax.lax.scan(step, init, jnp.arange(max_len))
+    return toks.T  # [N, max_len]
 
 
 def _topk_small(x: jnp.ndarray, k: int):
