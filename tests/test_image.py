@@ -233,3 +233,39 @@ def test_omniglot_pt_tuple_payload_and_disjoint_fallback(tmp_path):
     # reassembling the three splits in order reproduces the original
     recon = np.concatenate([train, val, test]).reshape(50, 784)
     np.testing.assert_allclose(recon, full)
+
+
+def test_omniglot_synthetic_cache_is_seed_stamped(tmp_path, monkeypatch):
+    """A cached substitute .npz written for one seed must not be served for
+    another (code-review r3): ensure_omniglot_dataset stamps the seed and
+    regenerates on mismatch; load_omniglot validates the stamp. A missing
+    explicit path warns before substituting."""
+    from vae_lagging_encoder_tpu.data import omniglot as og
+
+    monkeypatch.setattr(og, "_SYNTH_SIZES",
+                        {"train": 40, "val": 8, "test": 8})
+    monkeypatch.setattr(og, "_SYNTH_CACHE", {})
+    root = str(tmp_path)
+    p1 = og.ensure_omniglot_dataset(root, seed=1)
+    with np.load(p1) as z:
+        assert int(z["seed"][()]) == 1
+    d1 = np.load(p1)["train"]
+
+    # same seed: reused (mtime unchanged); other seed: regenerated
+    import os
+    m1 = os.path.getmtime(p1)
+    assert og.ensure_omniglot_dataset(root, seed=1) == p1
+    assert os.path.getmtime(p1) == m1
+    og.ensure_omniglot_dataset(root, seed=2)
+    d2 = np.load(p1)["train"]
+    assert not np.array_equal(d1, d2)
+
+    # load_omniglot with a missing .pt path: warns, and does NOT serve the
+    # seed-2 cache for the seed-1 request (falls back to generation)
+    missing = os.path.join(root, "omniglot.pt")
+    with pytest.warns(UserWarning, match="SYNTHETIC"):
+        tr, va, te = og.load_omniglot(missing, seed=1)
+    assert np.array_equal(tr, d1)
+    with pytest.warns(UserWarning, match="SYNTHETIC"):
+        tr2, _, _ = og.load_omniglot(missing, seed=2)
+    assert np.array_equal(tr2, d2)

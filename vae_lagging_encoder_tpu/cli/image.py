@@ -48,6 +48,9 @@ def save_grid(imgs, path: str, ncols: int = 10) -> None:
 
     imgs = np.asarray(imgs)
     n, h, w, _ = imgs.shape
+    if n == 0:
+        raise ValueError("no images to render (num_samples=0 or an empty "
+                         "test split)")
     ncols = min(ncols, n)
     nrows = -(-n // ncols)
     canvas = np.ones((nrows * (h + 2), ncols * (w + 2)), np.float32)
@@ -117,7 +120,8 @@ def generate(cfg, args, log, exp_dir: str) -> int:
         xb = jax.random.bernoulli(k_bin, x).astype(jnp.float32)
         z, _ = vae.encoder.sample(params["enc"], k_enc, xb, None, 1)
         recon = vae.decoder.sample(params["dec"], k_pix, z[:, 0, :])
-        # grid rows alternate original / reconstruction
+        # grid interleaves COLUMNS: each original sits immediately left of
+        # its reconstruction (flat order o0,r0,o1,r1,... filled row-major)
         import numpy as np
 
         pairs = np.stack([np.asarray(xb), np.asarray(recon)], axis=1)

@@ -61,7 +61,13 @@ def _prose_lines(doc: str) -> Iterator[str]:
 def _tokenize(text: str) -> List[str]:
     """Yahoo-preprocessing-style tokens: lowercase, punctuation as its own
     token, digit runs collapsed to ``_num`` (underscores and backticks are
-    identifier/markup glue, not prose punctuation — dropped)."""
+    identifier/markup glue, not prose punctuation — dropped).
+
+    Known limitation (kept: the cached corpora and the RESULTS.md studies
+    are pinned to this tokenizer): the word class is ASCII-only, so the
+    occasional accented word fragments ('naïve' -> 'na', 'ï', 've');
+    frequency ranking keeps such fragments out of the vocab head, so the
+    effect on the 20k vocab is marginal."""
     text = re.sub(r":[a-zA-Z~._]+:", " ", text)  # sphinx inline roles
     toks = _WORD.findall(text.replace("_", " ").replace("`", " ").lower())
     return ["_num" if t[0].isdigit() else t for t in toks]
@@ -127,6 +133,11 @@ def generate_english_corpus(
     cur_pkg = ""
     for pkg, toks in _iter_prose_tokens(root, seed):
         if not cur:
+            # a document is labeled by the package that STARTS it; a doc
+            # crossing a file boundary can contain a second package's
+            # prose, so labels are approximate (unused by training —
+            # cfg.label defaults False; kept for the reference's --label
+            # surface, not for classification-grade supervision)
             cur_pkg = pkg
         cur.extend(toks)
         if len(cur) >= lens[len(docs)]:

@@ -85,11 +85,13 @@ def _synthetic_omniglot(seed: int = 783435) -> Dict[str, np.ndarray]:
     """Class-structured stroke glyphs (offline substitute).
 
     Mirrors OmniGlot's character/drawing hierarchy — the structure the
-    latent is supposed to capture: K prototype "characters" (fixed stroke
-    layouts), each rendered many times with per-drawing deformations
-    (global shift/rotation + per-stroke jitter). Train uses 80 prototypes;
-    val/test use 10 held-out prototypes each (reference OmniGlot evaluates
-    on unseen characters). The first generator (pure i.i.d. random strokes)
+    latent is supposed to capture: 1000 prototype "characters" (fixed
+    stroke layouts; ~the reference's 964 + held-out), each rendered many
+    times with per-drawing deformations (global shift/rotation +
+    per-stroke jitter). Train uses prototypes 0-799 (24k drawings, ~30
+    per character); val/test use 100 held-out prototypes each (reference
+    OmniGlot evaluates on unseen characters). The first generator (pure
+    i.i.d. random strokes)
     had NO cross-image structure for z to encode, and both study arms
     degenerated on it (RESULTS.md round-3 image study)."""
     if seed in _SYNTH_CACHE:
@@ -132,13 +134,26 @@ def load_omniglot(path: str = "datasets/omniglot_data/omniglot.pt",
             data = _as_prob_arrays(torch.load(path, map_location="cpu",
                                               weights_only=False))
     elif allow_synthetic:
+        if path:
+            # loud: training on the substitute while believing it is real
+            # OmniGlot would misattribute results (code-review r3)
+            import warnings
+            warnings.warn(f"{path} not found — using the SYNTHETIC OmniGlot "
+                          "substitute (offline box); results are not "
+                          "real-OmniGlot numbers", stacklevel=2)
         # reuse the npz ensure_omniglot_dataset() materialized (skips the
-        # ~10 s render loop across processes); else generate (memoized)
+        # ~10 s render loop across processes); else generate (memoized).
+        # The cache is seed-stamped: a file written for another seed must
+        # not be silently served (code-review r3).
         npz = os.path.join(os.path.dirname(path) or "datasets/omniglot_data",
                            "omniglot_synthetic.npz")
-        if seed == 783435 and os.path.isfile(npz):
-            data = _as_prob_arrays(np.load(npz))
-        else:
+        if os.path.isfile(npz):
+            with np.load(npz) as z:
+                file_seed = int(z["seed"][()]) if "seed" in z.files else None
+                if file_seed == seed:
+                    data = _as_prob_arrays(
+                        {k: z[k] for k in z.files if k != "seed"})
+        if data is None:
             data = _synthetic_omniglot(seed)
     else:
         raise FileNotFoundError(
@@ -146,6 +161,10 @@ def load_omniglot(path: str = "datasets/omniglot_data/omniglot.pt",
             "allow_synthetic=True for the offline substitute")
 
     train = data.get("train")
+    if train is None:
+        raise ValueError(
+            f"{path or 'payload'}: no 'train' split among keys "
+            f"{sorted(data)} — cannot interpret this as an OmniGlot corpus")
     test = data.get("test")
     if test is None:  # carve test from the train tail, REMOVING it from
         # train so the val fallback below cannot overlap it (ADVICE.md r1)
@@ -160,11 +179,19 @@ def load_omniglot(path: str = "datasets/omniglot_data/omniglot.pt",
 
 def ensure_omniglot_dataset(root: str = "datasets/omniglot_data",
                             seed: int = 783435) -> str:
-    """Materialize the offline synthetic substitute as an .npz; return path."""
+    """Materialize the offline synthetic substitute as an .npz; return path.
+
+    The file is stamped with its generation seed; an existing file written
+    for a DIFFERENT seed (or by the pre-stamp code) is regenerated rather
+    than silently reused (code-review r3)."""
     path = os.path.join(root, "omniglot_synthetic.npz")
-    if not os.path.isfile(path):
-        os.makedirs(root, exist_ok=True)
-        np.savez_compressed(path, **_synthetic_omniglot(seed))
+    if os.path.isfile(path):
+        with np.load(path) as z:
+            if "seed" in z.files and int(z["seed"][()]) == seed:
+                return path
+    os.makedirs(root, exist_ok=True)
+    np.savez_compressed(path, seed=np.int64(seed),
+                        **_synthetic_omniglot(seed))
     return path
 
 
