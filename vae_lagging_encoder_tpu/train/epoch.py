@@ -26,7 +26,7 @@ import numpy as np
 from ..data.pool import BucketedPool
 from ..models.vae import VAE
 from .aggressive import make_aggressive_inner, make_grad_on
-from .optim import clip_by_global_norm, make_optimizer, sgd_update
+from .optim import clip_by_global_norm, make_optimizer
 
 
 def make_loss_fn(vae: VAE, nsamples: int = 1, train: bool = True) -> Callable:
@@ -125,7 +125,10 @@ def make_train_epoch(vae: VAE, pool: BucketedPool, cfg,
     flat_bucket, flat_idx = _flat_coords(pool)
     flat_bucket = jnp.asarray(flat_bucket)
     flat_idx = jnp.asarray(flat_idx)
-    anneal_rate = (1.0 - cfg.kl_start) / (cfg.warm_up * pool.num_batches)
+    # warm_up <= 0 is valid only with kl_start 1.0 (no annealing; run_training
+    # rejects the contradictory combination up front)
+    anneal_rate = ((1.0 - cfg.kl_start) / (cfg.warm_up * pool.num_batches)
+                   if cfg.warm_up > 0 else 0.0)
 
     arr_leaves = pool.flat_leaves()
 
@@ -376,19 +379,24 @@ def make_au_fn(vae: VAE, pool: BucketedPool, delta: float = 0.01,
     mean_reducer = make_pool_reducer(
         pool, mean_batch, (jnp.zeros((nz,)), jnp.float32(0.0)), mesh=mesh)
 
+    # mu_mean rides inside the reducer's opaque params pytree so this
+    # reducer compiles ONCE — rebuilding it per au_fn call re-jitted the
+    # whole pool-reduction program (a multi-second trace+compile) on every
+    # AU evaluation and baked mu_mean in as a constant (code-review r3)
+    def var_batch(carry, key, batch):
+        params, mu_mean = carry
+        x, mask, row_weight = prep(key, batch)
+        mu = vae.calc_infer_mean(params, x, mask)
+        dev = (mu - mu_mean) ** 2 * row_weight[:, None]
+        return (jnp.sum(dev, axis=0),)
+
+    var_reducer = make_pool_reducer(pool, var_batch, (jnp.zeros((nz,)),),
+                                    mesh=mesh)
+
     def au_fn(params, key):
         mu_sum, n = mean_reducer(params, key)
         mu_mean = mu_sum / jnp.maximum(n, 1.0)
-
-        def var_batch(params, key, batch):
-            x, mask, row_weight = prep(key, batch)
-            mu = vae.calc_infer_mean(params, x, mask)
-            dev = (mu - mu_mean) ** 2 * row_weight[:, None]
-            return (jnp.sum(dev, axis=0),)
-
-        var_reducer = make_pool_reducer(pool, var_batch, (jnp.zeros((nz,)),),
-                                        mesh=mesh)
-        (var_sum,) = var_reducer(params, key)
+        (var_sum,) = var_reducer((params, mu_mean), key)
         var = jax.device_get(var_sum) / max(float(jax.device_get(n)) - 1.0, 1.0)
         return int((var > delta).sum()), var
 

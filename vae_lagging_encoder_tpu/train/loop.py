@@ -31,8 +31,8 @@ from ..models import build_image_vae, build_text_vae
 from ..utils.exp_utils import Logger
 from .checkpoint import load_checkpoint, save_checkpoint, to_host
 from .epoch import (_unpack, binarize_prep, make_au_fn, make_eval_fn,
-                    make_image_loss_fn, make_iwnll_fn, make_loss_fn,
-                    make_mi_fn, make_train_epoch)
+                    make_image_loss_fn, make_iwnll_fn, make_mi_fn,
+                    make_train_epoch)
 
 
 def load_text_datasets(cfg: ExperimentConfig):
@@ -55,6 +55,18 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
     if cfg.resume and not cfg.load_path:
         raise SystemExit("--resume requires --load_path (a checkpoint to "
                          "continue from)")
+    if cfg.iw_nsamples % cfg.iw_batch:
+        # validate NOW: vae.nll_iw asserts this, but only in the FINAL eval
+        # — failing there would discard the results of an hours-long run
+        raise SystemExit(
+            f"--iw_nsamples {cfg.iw_nsamples} must be divisible by "
+            f"--iw_batch {cfg.iw_batch} (the IW estimator runs in "
+            f"iw_batch-sample chunks)")
+    if cfg.warm_up <= 0 and cfg.kl_start < 1.0:
+        raise SystemExit(
+            f"--warm_up {cfg.warm_up} with --kl_start {cfg.kl_start}: a "
+            "non-positive anneal window cannot reach kl_weight 1.0; use "
+            "--kl_start 1.0 for no annealing or a positive --warm_up")
     mesh = None
     if cfg.dp_devices > 1:
         # Data parallelism over ICI: batch-shard the device-resident pool
@@ -272,11 +284,18 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
         kl_weight = float(kl_w_new)
         loss_s, rec_s, kl_s, n_sent, n_words = sums
         dt = time.time() - t0
-        steps = train_pool.num_batches + int(inner_iters)
+        # a mid-epoch-resumed epoch only ran the post-autosave tail in THIS
+        # process: count only those steps, or steps/s would divide the full
+        # epoch's counters by the tail's wall time (code-review r3)
+        ran = train_pool.num_batches + int(inner_iters)
+        if resume_mid and epoch == start_epoch:
+            ran = (train_pool.num_batches - int(resume_mid["next_start"])
+                   + int(inner_iters) - int(resume_mid["inner_iters"]))
         log.info(f"epoch {epoch}: loss {loss_s / n_sent:.4f} "
                  f"rec {rec_s / n_sent:.4f} kl {kl_s / n_sent:.4f} "
                  f"kl_weight {kl_weight:.4f} inner_iters {int(inner_iters)} "
-                 f"({dt:.1f}s, {steps / dt:.1f} steps/s)")
+                 f"({dt:.1f}s, {ran / max(dt, 1e-9):.1f} steps/s"
+                 f"{' post-resume' if resume_mid and epoch == start_epoch else ''})")
 
         # --- epoch-level MI plateau: permanent aggressive switch-off ----
         if aggressive:
