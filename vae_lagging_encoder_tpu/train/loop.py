@@ -227,6 +227,11 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
             params, opt_state, kl_w_new, seg_sums, seg_inner = epoch_fn(
                 params, opt_state, jax.random.fold_in(k_epoch, s), kl_w_new,
                 jnp.float32(lr), chunk, aggressive=aggressive)
+            # Deliberate blocking pull each segment: it caps in-flight work
+            # at one segment (the tunnel worker kills long unattended
+            # executions) and feeds the log/autosave cadence. Cost bound:
+            # one ~ms scalar pull per >=32-step segment, <2% of epoch time
+            # at flagship scale — not worth async accumulation complexity.
             seg_sums = tuple(map(float, jax.device_get(seg_sums)))
             sums = tuple(a + b for a, b in zip(sums, seg_sums))
             inner_iters += int(seg_inner)
