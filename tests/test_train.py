@@ -142,6 +142,13 @@ def test_eval_suite(setup):
     # IW bound is tighter than ELBO: iw_nll <= elbo nll (+MC slack)
     assert iw["nll"] <= ev["nll"] + 0.5
     assert iw["ppl"] <= ev["ppl"] * 1.1
+    # segmented reduction (tunnel-kill-horizon protection at large eval
+    # sets) must reproduce the single-program result: per-batch keys are
+    # position-derived either way, only the summation grouping changes
+    iw_seg = make_iwnll_fn(vae, pool, nsamples=20, ns=10,
+                           segment=3)(params, key)
+    assert abs(iw_seg["nll"] - iw["nll"]) < 1e-4
+    assert iw_seg["n_sents"] == iw["n_sents"]
 
 
 def test_checkpoint_roundtrip(tmp_path, setup):

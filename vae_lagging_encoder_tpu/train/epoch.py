@@ -214,7 +214,8 @@ def make_train_epoch(vae: VAE, pool: BucketedPool, cfg,
 
 
 def make_pool_reducer(pool: BucketedPool, batch_fn: Callable, init,
-                      mesh=None, axis: str = "dp") -> Callable:
+                      mesh=None, axis: str = "dp",
+                      segment: int | None = None) -> Callable:
     """Build ``reduce_fn(params, key) -> summed pytree`` where
     ``batch_fn(params, key, batch_tuple)`` returns a pytree of scalars added
     across every batch in the pool (one fused XLA program).
@@ -233,7 +234,7 @@ def make_pool_reducer(pool: BucketedPool, batch_fn: Callable, init,
 
     if mesh is None:
         @jax.jit
-        def reduce_fn(params, key):
+        def reduce_seg(params, key, start, stop):
             def body(i, acc):
                 k_i = jax.random.fold_in(key, i)
 
@@ -243,7 +244,23 @@ def make_pool_reducer(pool: BucketedPool, batch_fn: Callable, init,
                 out = pool.switch(flat_bucket[i], flat_idx[i], on)
                 return jax.tree.map(jnp.add, acc, out)
 
-            return jax.lax.fori_loop(0, n, body, init)
+            return jax.lax.fori_loop(start, stop, body, init)
+
+        if segment is None:
+            return lambda params, key: reduce_seg(params, key, 0, n)
+
+        # Segmented dispatches: the tunneled TPU worker kills single
+        # executions that run unattended past ~1 min, and a whole-pool
+        # 500-sample IW reduction over a 5k-sentence eval set is one ~86 s
+        # program (observed crash at the 100k-corpus study's final suite).
+        # Per-batch keys are fold_in(key, i) either way, so segmentation
+        # only regroups the final summation order.
+        def reduce_fn(params, key):
+            acc = init
+            for s in range(0, n, segment):
+                out = reduce_seg(params, key, s, min(s + segment, n))
+                acc = jax.tree.map(jnp.add, acc, out)
+            return acc
 
         return reduce_fn
 
@@ -405,7 +422,7 @@ def make_au_fn(vae: VAE, pool: BucketedPool, delta: float = 0.01,
 
 def make_iwnll_fn(vae: VAE, pool: BucketedPool, nsamples: int = 500,
                   ns: int = 100, prep: Callable = _unpack,
-                  mesh=None) -> Callable:
+                  mesh=None, segment: int | None = None) -> Callable:
     """500-sample importance-weighted NLL + PPL over a pool
     (parity: <ref>text.py §calc_iwnll → <ref>vae.py §nll_iw). The most
     FLOPs-heavy path in the repo (SURVEY.md §3.3); with ``mesh`` it
@@ -419,7 +436,8 @@ def make_iwnll_fn(vae: VAE, pool: BucketedPool, nsamples: int = 500,
                 _unit_count(x, mask, row_weight))
 
     reducer = make_pool_reducer(
-        pool, batch_fn, tuple(jnp.float32(0.0) for _ in range(3)), mesh=mesh)
+        pool, batch_fn, tuple(jnp.float32(0.0) for _ in range(3)), mesh=mesh,
+        segment=segment)
 
     def iwnll_fn(params, key):
         nll_sum, n_sent, n_words = map(float, jax.device_get(reducer(params, key)))

@@ -385,8 +385,13 @@ def run_final_eval(cfg: ExperimentConfig, vae, params, pool, log: Logger,
         params, jax.random.fold_in(key, 1))
     au, au_var = make_au_fn(vae, pool, prep=prep, mesh=mesh)(
         params, jax.random.fold_in(key, 2))
+    # the IW reduction is segmented on the single-device path: at large
+    # eval sets one whole-pool dispatch exceeds the tunnel worker's
+    # unattended-kill horizon (make_pool_reducer note)
     iw = make_iwnll_fn(vae, pool, nsamples=cfg.iw_nsamples, ns=cfg.iw_batch,
-                       prep=prep, mesh=mesh)(params, jax.random.fold_in(key, 3))
+                       prep=prep, mesh=mesh,
+                       segment=cfg.epoch_segment or None)(
+                           params, jax.random.fold_in(key, 3))
     results = {
         "elbo_loss": float(elbo["loss"]), "rec": float(elbo["rec"]),
         "kl": float(elbo["kl"]), "mi": float(mi), "au": int(au),
