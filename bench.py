@@ -172,11 +172,14 @@ def _run(use_pallas: bool) -> None:
     zs = [jnp.asarray(np.random.RandomState(7 + i)
                       .randn(32, cfg.nz).astype(np.float32))
           for i in range(3)]
-    vae.decoder.beam_search_decode(params, zs[0], beam_width=5, max_len=100)
+    dec_params = params["dec"]
+    vae.decoder.beam_search_decode(dec_params, zs[0], beam_width=5,
+                                   max_len=100)
     beam_sps = 0.0
     for z in zs[1:]:
         t0 = time.time()
-        vae.decoder.beam_search_decode(params, z, beam_width=5, max_len=100)
+        vae.decoder.beam_search_decode(dec_params, z, beam_width=5,
+                                       max_len=100)
         beam_sps = max(beam_sps, 32 / (time.time() - t0))
 
     print(json.dumps({
