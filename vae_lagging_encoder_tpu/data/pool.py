@@ -104,7 +104,13 @@ class Pool:
                 for arrs in self.arrays]
 
     def shard(self, mesh, axis: str = "dp") -> "Pool":
-        """Re-place the stacked arrays batch-sharded over the mesh axis."""
+        """Re-place the stacked arrays batch-sharded over the mesh axis.
+
+        This is a second transfer of data the constructor already placed
+        on the default device — accepted: it is a one-time ~tens-of-MB
+        move per run, and keeping the constructor eager lets the (far more
+        common) single-device path close over committed arrays instead of
+        np constants baked into every compiled epoch."""
         from jax.sharding import NamedSharding
 
         specs = self.batch_specs(axis)

@@ -133,10 +133,15 @@ def _ensure_splits(root: str, name: str, splits: dict,
             "the real corpus")
     os.makedirs(root, exist_ok=True)
     sents, topics = generate()
+    # write to temp names, then rename all three at the end: a crash
+    # mid-generation must not leave a partial set that the refusal branch
+    # above would mistake for possibly-real data (code-review r3)
     for split, sl in splits.items():
-        with open(paths[split], "w") as fh:
+        with open(paths[split] + ".tmp", "w") as fh:
             for topic, sent in zip(topics[sl], sents[sl]):
                 fh.write(f"{topic}\t" + " ".join(sent) + "\n")
+    for p in paths.values():
+        os.replace(p + ".tmp", p)
     return paths
 
 

@@ -26,7 +26,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .vocab import Vocab, PAD_ID
+from .vocab import Vocab, PAD_ID, _strtol, _ws_split
 
 
 @dataclass(frozen=True)
@@ -59,6 +59,9 @@ class TextBatch:
         """Predicted tokens per reference convention: w1..wn plus </s>
         (everything after <s>), i.e. len(sent)-1 per sentence."""
         return float(self.mask[:, 1:].sum())
+
+
+DEFAULT_BUCKETS = (16, 32, 48, 64, 96, 128, 192, 256, 384, 512)
 
 
 def _bucket_for(length: int, buckets: Sequence[int]) -> int:
@@ -111,23 +114,33 @@ class MonoTextData:
 
     @staticmethod
     def _read(fname: str, label: bool) -> Tuple[List[List[str]], Optional[List[int]]]:
+        """Pure-Python reader, BIT-IDENTICAL to the native fast path
+        (csrc/textproc.cpp) so a corpus yields the same dataset whether or
+        not the .so built on this host (code-review r3): ASCII-whitespace
+        tokenization (the native reader's is_space over raw bytes; Python's
+        bare str.split would also split U+00A0 etc.), labeled lines with an
+        EMPTY body are skipped entirely, and labels parse strtol-style
+        (leading integer, else 0). Exact-parity tests: tests/test_native.py."""
         sentences, labels = [], [] if label else None
         with open(fname) as fh:
             for line in fh:
-                toks = line.split()
-                if not toks:
-                    continue
                 if label:
                     # Reference corpora store "<label>\t<sentence>" for
                     # Yahoo/Yelp; the label is kept but unused by training.
                     split = line.split("\t", 1)
+                    toks = _ws_split(split[-1])
+                    if not toks:
+                        continue
                     if len(split) == 2:
-                        labels.append(int(split[0]))
-                        toks = split[1].split()
+                        labels.append(_strtol(split[0]))
                     else:
                         # keep labels index-aligned with sentences (same
                         # sentinel as csrc/textproc.cpp)
                         labels.append(-1)
+                else:
+                    toks = _ws_split(line)
+                    if not toks:
+                        continue
                 sentences.append(toks)
         return sentences, labels
 
@@ -136,7 +149,7 @@ class MonoTextData:
 
     # ------------------------------------------------------------------
     def create_data_batch(self, batch_size: int,
-                          buckets: Sequence[int] = (16, 32, 48, 64, 96, 128, 192, 256, 384, 512),
+                          buckets: Sequence[int] = DEFAULT_BUCKETS,
                           drop_remainder: bool = False,
                           seed: Optional[int] = None) -> List[TextBatch]:
         """All batches, padded+bucketed, batch dim always ``batch_size``.
@@ -184,5 +197,5 @@ class MonoTextData:
             return batches[int(rng.randint(len(batches)))]
         idx = rng.randint(len(self.data), size=nsample)
         sents = [self.data[i] for i in idx]
-        blen = _bucket_for(max(len(s) for s in sents), (16, 32, 64, 128, 256, 512))
+        blen = _bucket_for(max(len(s) for s in sents), DEFAULT_BUCKETS)
         return self._pad_batch(sents, blen, nsample)

@@ -6,11 +6,32 @@ words at val/test time map to ``<unk>`` (SURVEY.md §2 text-data row).
 """
 from __future__ import annotations
 
+import re
 from typing import Dict, Iterable, List
 
 PAD, UNK, BOS, EOS = "<pad>", "<unk>", "<s>", "</s>"
 PAD_ID, UNK_ID, BOS_ID, EOS_ID = 0, 1, 2, 3
 _SPECIALS = (PAD, UNK, BOS, EOS)
+
+_ASCII_WS = re.compile(r"[^ \t\r\n\v\f]+")
+_LEADING_INT = re.compile(r"^\s*[+-]?\d+")
+
+
+def _ws_split(s: str) -> List[str]:
+    """ASCII-whitespace tokenization — bit-identical to the native reader's
+    ``is_space`` over raw bytes (csrc/textproc.cpp). Python's bare
+    ``str.split()`` would ALSO split Unicode whitespace (U+00A0 etc.),
+    silently diverging the fallback corpus from the native one
+    (code-review r3)."""
+    return _ASCII_WS.findall(s)
+
+
+def _strtol(s: str) -> int:
+    """C ``strtol`` semantics for label fields: leading integer, else 0 —
+    what the native reader does; ``int(s)`` would instead crash the
+    fallback on non-numeric labels (code-review r3)."""
+    m = _LEADING_INT.match(s)
+    return int(m.group(0)) if m else 0
 
 
 class Vocab:
@@ -57,7 +78,9 @@ class Vocab:
 
     @classmethod
     def from_file(cls, path: str, label: bool = False, **kw) -> "Vocab":
-        # native fast path (csrc/textproc.cpp) with pure-Python fallback
+        # native fast path (csrc/textproc.cpp) with pure-Python fallback —
+        # _ws_split keeps the fallback's tokenization bit-identical to the
+        # native reader's ASCII is_space (code-review r3)
         from . import native
 
         nc = native.count_vocab(path, label)
@@ -66,8 +89,8 @@ class Vocab:
         with open(path) as fh:
             if label:
                 return cls.from_corpus(
-                    (line.split("\t", 1)[-1].split() for line in fh), **kw)
-            return cls.from_corpus((line.split() for line in fh), **kw)
+                    (_ws_split(line.split("\t", 1)[-1]) for line in fh), **kw)
+            return cls.from_corpus((_ws_split(line) for line in fh), **kw)
 
     # --- lookup ---------------------------------------------------------
     def __len__(self) -> int:
