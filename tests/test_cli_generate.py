@@ -41,8 +41,11 @@ def text_setup(tmp_path_factory):
                  "--exp_dir", str(root / "exp")]
     cfg, _ = cli_text.init_config(base_argv + ["--sample_from_prior"])
     from vae_lagging_encoder_tpu.data import MonoTextData
+    from vae_lagging_encoder_tpu.train.loop import dataset_is_labeled
 
-    vocab = MonoTextData(cfg.train_data, label=cfg.label).vocab
+    # build the vocab exactly as generate() does (labeled parsing for the
+    # built-in corpora), else the checkpoint's V drifts from the CLI's
+    vocab = MonoTextData(cfg.train_data, label=dataset_is_labeled(cfg)).vocab
     vae = build_text_vae(cfg, len(vocab))
     params = vae.init(jax.random.PRNGKey(0))
     save_checkpoint(ckpt, to_host(params), {})

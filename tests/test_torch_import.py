@@ -149,6 +149,18 @@ def test_export_roundtrip_and_cli(tmp_path, capsys):
     for k, v in sd.items():
         assert torch.equal(got[k], v), k
 
+    # full cycle: import the export, then export the IMPORT-PRODUCED npz —
+    # direction must key on file format, not on the npz's persisted
+    # 'torch_state_dict' extras tag (code-review r3)
+    ck2, pt2 = str(tmp_path / "model2.ckpt"), str(tmp_path / "back2.pt")
+    assert import_main([pt, ck2]) == 0
+    assert "imported" in capsys.readouterr().out
+    assert import_main([ck2, pt2]) == 0
+    assert "exported" in capsys.readouterr().out
+    got2 = torch.load(pt2, weights_only=True)  # a real torch file again
+    for k, v in sd.items():
+        assert torch.equal(got2[k], v), k
+
 
 def test_image_and_multilayer_rejected(tmp_path):
     _, params = _make_params(seed=5)

@@ -53,45 +53,56 @@ def generate(cfg, args, log) -> int:
     (batched beam search — models/dec_lstm.py::_beam_search_batched).
     """
     import jax
+    import jax.numpy as jnp
 
-    from ..data import BucketedPool
+    from ..data import MonoTextData
     from ..models import build_text_vae
     from ..train.checkpoint import load_checkpoint
-    from ..train.loop import load_text_datasets
+    from ..train.loop import dataset_is_labeled
 
     if not cfg.load_path:
         raise SystemExit("--sample_from_prior/--reconstruct need --load_path")
-    train_data, _, test_data = load_text_datasets(cfg)
+    # only the train split's vocab is needed (plus test for --reconstruct);
+    # loading all three splits wasted startup I/O at 100k-corpus scale
+    label = dataset_is_labeled(cfg)
+    train_data = MonoTextData(cfg.train_data, label=label)
     vocab = train_data.vocab
     vae = build_text_vae(cfg, len(vocab))
     params, _ = load_checkpoint(cfg.load_path)
-    import jax.numpy as jnp
     params = jax.tree.map(jnp.asarray, params)  # host numpy -> device
-    key = jax.random.PRNGKey(cfg.seed)
+    # independent keys per use: reusing one key would correlate the prior
+    # draw with the decode-sampling noise (code-review r3)
+    k_z, k_dec = jax.random.split(jax.random.PRNGKey(cfg.seed))
     lines = []
     if args.sample_from_prior:
-        z = vae.sample_from_prior(key, args.num_samples)
+        z = vae.sample_from_prior(k_z, args.num_samples)
         if args.decoding_strategy == "beam":
             outs = vae.decoder.beam_search_decode(params["dec"], z,
                                                   max_len=args.max_decode_len)
         elif args.decoding_strategy == "sample":
-            outs = vae.decoder.sample_decode(params["dec"], key, z,
+            outs = vae.decoder.sample_decode(params["dec"], k_dec, z,
                                              args.max_decode_len)
         else:
             outs = vae.decoder.greedy_decode(params["dec"], z,
                                              args.max_decode_len)
         lines = [" ".join(vocab.decode(row)) for row in list(outs)]
     else:  # reconstruct
+        test_data = MonoTextData(cfg.test_data, label=label,
+                                 vocab=vocab)
         batches = test_data.create_data_batch(cfg.batch_size, cfg.length_buckets)
-        import jax.numpy as jnp
-        for b in batches[: max(1, args.num_samples // cfg.batch_size)]:
-            outs = vae.reconstruct(params, key, jnp.asarray(b.tokens),
+        # ceil so num_samples > batch_size fetches enough batches; per-batch
+        # keys so batches don't share posterior/decode noise (code-review r3)
+        n_batches = -(-args.num_samples // cfg.batch_size)
+        for i, b in enumerate(batches[:n_batches]):
+            outs = vae.reconstruct(params, jax.random.fold_in(k_dec, i),
+                                   jnp.asarray(b.tokens),
                                    jnp.asarray(b.mask),
                                    decoding_strategy=args.decoding_strategy,
                                    max_len=args.max_decode_len)
             for row, w in zip(list(outs), b.row_weight):
                 if w > 0:
                     lines.append(" ".join(vocab.decode(row)))
+        lines = lines[: args.num_samples]
     text = "\n".join(lines)
     if args.output_file:
         with open(args.output_file, "w") as fh:

@@ -81,7 +81,11 @@ class ExperimentConfig:
     save_path: str = ""
     exp_dir: str = ""
     profile_dir: str = ""   # capture a jax.profiler trace of one epoch here
-    label: bool = False           # reference keeps sentence labels around; unused by training
+    # None = auto (the built-in yahoo/yelp/synthetic/docs_english corpora
+    # are "<label>\t<sentence>"-formatted); an explicit --label 0/1 wins —
+    # previously `or`-combined so --label 0 could never disable labeled
+    # parsing of a custom --train_data (code-review r3)
+    label: bool | None = None
 
     # --- TPU-first additions ---------------------------------------------
     # "float32" | "bfloat16" (matmul inputs). f32 is the measured default on

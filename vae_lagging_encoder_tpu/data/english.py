@@ -136,7 +136,7 @@ def generate_english_corpus(
             # a document is labeled by the package that STARTS it; a doc
             # crossing a file boundary can contain a second package's
             # prose, so labels are approximate (unused by training —
-            # cfg.label defaults False; kept for the reference's --label
+            # cfg.label defaults to auto; kept for the reference's --label
             # surface, not for classification-grade supervision)
             cur_pkg = pkg
         cur.extend(toks)

@@ -35,10 +35,18 @@ from .epoch import (_unpack, binarize_prep, make_au_fn, make_eval_fn,
                     make_train_epoch)
 
 
+def dataset_is_labeled(cfg: ExperimentConfig) -> bool:
+    """Whether corpus lines carry a leading "<label>\t". Explicit --label
+    0/1 wins; default: the built-in text corpora are all labeled."""
+    if cfg.label is not None:
+        return bool(cfg.label)
+    return cfg.dataset in ("yahoo", "yelp", "synthetic", "docs_english")
+
+
 def load_text_datasets(cfg: ExperimentConfig):
     if cfg.dataset == "synthetic":
         ensure_synthetic_dataset()
-    label = cfg.label or cfg.dataset in ("yahoo", "yelp", "synthetic", "docs_english")
+    label = dataset_is_labeled(cfg)
     train = MonoTextData(cfg.train_data, label=label)
     val = MonoTextData(cfg.val_data, label=label, vocab=train.vocab)
     test = MonoTextData(cfg.test_data, label=label, vocab=train.vocab)

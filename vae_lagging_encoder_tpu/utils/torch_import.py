@@ -258,13 +258,28 @@ def main(argv: List[str] | None = None) -> int:
     p.add_argument("out_ckpt")
     a = p.parse_args(argv)
 
-    # load_checkpoint handles every format and tags torch inputs
-    params, extra = load_checkpoint(a.in_ckpt)
-    if extra.get("format") == "torch_state_dict":
+    # Direction keys on the INPUT FILE's format, not on checkpoint
+    # metadata: an import-produced npz carries format='torch_state_dict'
+    # in its extras, and keying on that would make `torch_import
+    # model.ckpt back.pt` silently write another npz (code-review r3).
+    with open(a.in_ckpt, "rb") as fh:
+        head = fh.read(4)
+    in_is_torch = False
+    if head[:2] == b"PK":
+        import zipfile
+        with zipfile.ZipFile(a.in_ckpt) as zf:
+            in_is_torch = any(n.endswith("data.pkl") for n in zf.namelist())
+    else:  # non-zip: ours is a round-1 pickle, torch's is its legacy format
+        params, extra = load_checkpoint(a.in_ckpt)
+        in_is_torch = extra.get("format") == "torch_state_dict"
+
+    if in_is_torch:
+        params, extra = load_torch_checkpoint(a.in_ckpt)
         save_checkpoint(a.out_ckpt, params, extra)
         verb = "imported"
     else:
         import torch
+        params, _ = load_checkpoint(a.in_ckpt)
         torch.save(export_torch_state_dict(params), a.out_ckpt)
         verb = "exported"
     V, ni = params["enc"]["emb"].shape
