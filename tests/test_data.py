@@ -140,3 +140,21 @@ def test_flagship_corpus_generator():
         paths = ensure_flagship_dataset("yahoo", root=d, num_sentences=44)
         data = MonoTextData(paths["train"], label=True)
         assert len(data) == 40 and len(data.labels) == 40  # 44 - 2*2 eval
+
+
+def test_data_iter_epoch_surface():
+    """<ref>data/ §MonoTextData.data_iter — one epoch of shuffled batches
+    (SURVEY.md §2 API surface; the TPU path uses BucketedPool instead)."""
+    from vae_lagging_encoder_tpu.data.synthetic import generate_synthetic_corpus
+
+    sents, _ = generate_synthetic_corpus(num_sentences=70, vocab_size=20,
+                                         min_len=4, max_len=12, seed=3)
+    d = MonoTextData(sentences=sents)
+    epoch = list(d.data_iter(16, seed=0))
+    assert sum(b.num_sentences for b in epoch) == 70
+    # deterministic for a fixed seed, different order for another
+    assert [b.tokens.shape for b in epoch] == \
+           [b.tokens.shape for b in d.data_iter(16, seed=0)]
+    flat = lambda ep: np.concatenate([b.tokens.ravel() for b in ep])
+    assert not np.array_equal(flat(epoch), flat(d.data_iter(16, seed=1))) \
+        or len(epoch) == 1

@@ -188,6 +188,23 @@ class MonoTextData:
         return TextBatch(tokens=tokens, mask=mask, row_weight=row_weight)
 
     # ------------------------------------------------------------------
+    def data_iter(self, batch_size: int, seed: Optional[int] = None,
+                  buckets: Sequence[int] = DEFAULT_BUCKETS,
+                  shuffle: bool = True):
+        """Yield one epoch of batches in (optionally) shuffled order —
+        parity with <ref>data/ §MonoTextData.data_iter-style epoch
+        iteration (SURVEY.md §2). The TPU training path instead stages
+        all batches once in a device-resident BucketedPool and shuffles
+        an index vector per epoch; this host-side iterator is the
+        reference-shaped convenience surface."""
+        batches = self.create_data_batch(batch_size, buckets)
+        if shuffle:
+            order = np.random.RandomState(seed).permutation(len(batches))
+        else:
+            order = np.arange(len(batches))
+        for i in order:
+            yield batches[int(i)]
+
     def data_sample(self, nsample: int, batches: Optional[List[TextBatch]] = None,
                     rng: Optional[np.random.RandomState] = None) -> TextBatch:
         """A random batch — parity with <ref>data/ §MonoTextData.data_sample,
