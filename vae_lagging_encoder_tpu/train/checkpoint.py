@@ -122,7 +122,16 @@ def load_checkpoint(path: str) -> Tuple[Any, Dict[str, Any]]:
                 # a legacy torch save's first pickle is its magic number,
                 # which unpickles "fine" but is not our state dict
                 raise pickle.UnpicklingError("not a framework checkpoint")
-        except pickle.UnpicklingError:
+        except pickle.UnpicklingError as our_err:
             from ..utils.torch_import import load_torch_checkpoint
-            return load_torch_checkpoint(path)
+            try:
+                return load_torch_checkpoint(path)
+            except Exception as torch_err:
+                # hostile or corrupt: rejected by BOTH safe loaders — report
+                # ours first so the user isn't debugging a torch traceback
+                # for a file that was never a torch checkpoint
+                raise pickle.UnpicklingError(
+                    f"{path}: not a loadable checkpoint — framework reader: "
+                    f"{our_err}; torch weights_only reader: "
+                    f"{type(torch_err).__name__}: {torch_err}") from None
     return state["params"], state.get("extra", {})
