@@ -93,22 +93,34 @@ class VAE:
 
         Parity: <ref>vae.py §nll_iw — ``nsamples`` total, processed in
         chunks of ``ns``: w = log p(x, z) - log q(z|x) with z ~ q(z|x);
-        NLL = -(logsumexp_500 w - log 500). The chunk loop is a static
-        Python loop (unrolled into the jitted graph); inside each chunk the
-        decoder bounds memory via its own z-sample chunking. SURVEY.md §3.3
-        marks this the most FLOPs-per-example path in the repo.
+        NLL = -(logsumexp_500 w - log 500). The chunk loop is one
+        ``lax.map`` over fold_in keys, so the decoder program appears ONCE
+        in the XLA graph instead of nsamples/ns times (the repo's most
+        FLOPs-per-example path, SURVEY.md §3.3 — at the default 500/100 the
+        old unrolled loop baked the full IW decoder in 5x, multiplying
+        compile time and program size; VERDICT r3 weak #6). Inside each
+        chunk the decoder bounds memory via its own z-sample chunking.
         """
         ns = min(ns, nsamples)
         assert nsamples % ns == 0, (nsamples, ns)
-        chunks = []
-        for i in range(nsamples // ns):
+        n_chunks = nsamples // ns
+        from .encoder import eval_inference_dist as _eid
+
+        def chunk_log_w(i):
             k_i = jax.random.fold_in(key, i)
-            z, (mu, logvar) = self.encoder.sample(params["enc"], k_i, x, mask, ns)
-            from .encoder import eval_inference_dist as _eid
-            log_w = (self.eval_complete_ll(params, x, mask, z)
-                     - _eid(z, mu, logvar))  # [B, ns]
-            chunks.append(log_w)
-        log_w = jnp.concatenate(chunks, axis=1)  # [B, nsamples]
+            z, (mu, logvar) = self.encoder.sample(params["enc"], k_i, x,
+                                                  mask, ns)
+            return (self.eval_complete_ll(params, x, mask, z)
+                    - _eid(z, mu, logvar))  # [B, ns]
+
+        if n_chunks == 1:
+            log_w = chunk_log_w(0)
+        else:
+            stacked = jax.lax.map(chunk_log_w,
+                                  jnp.arange(n_chunks))  # [C, B, ns]
+            # same [B, nsamples] layout the unrolled concatenate produced,
+            # so the closing logsumexp reduction order is unchanged
+            log_w = jnp.moveaxis(stacked, 0, 1).reshape(x.shape[0], nsamples)
         return -(log_sum_exp(log_w, dim=1) - math.log(nsamples))
 
     def KL(self, params, x, mask=None) -> jnp.ndarray:
