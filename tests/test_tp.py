@@ -186,3 +186,118 @@ def test_vocab_not_divisible_raises():
         step(shard_params(mesh, p2), jax.random.PRNGKey(0),
              jnp.zeros((B, T), jnp.int32), mask, rw,
              jnp.float32(1.0), jnp.float32(0.1))
+
+@pytest.mark.slow  # two fused-epoch compiles (~80s CPU jit)
+def test_tp_fused_epoch_matches_dp():
+    """The fused whole-epoch program with the decoder's output stage
+    vocab-sharded over tp (make_train_epoch(tp_axis="tp"): distributed
+    online logsumexp, column-parallel VJP, tp-aware global-norm clip,
+    sharded optimizer carry) must reproduce the plain-DP fused epoch at
+    the same dp size — identical per-dp-shard fold_in keys, so the only
+    numeric difference is the CE's summation order. Final params (pred
+    gathered), stat sums, kl_weight and inner iters agree at fp tolerance."""
+    from vae_lagging_encoder_tpu.config import get_config
+    from vae_lagging_encoder_tpu.data import BucketedPool, MonoTextData
+    from vae_lagging_encoder_tpu.data.synthetic import generate_synthetic_corpus
+    from vae_lagging_encoder_tpu.models import build_text_vae
+    from vae_lagging_encoder_tpu.parallel import shard_tree
+    from vae_lagging_encoder_tpu.train import make_train_epoch
+
+    cfg = get_config("synthetic", ni=8, enc_nh=16, nz=2, dec_nh=16,
+                     dec_dropout_in=0.0, dec_dropout_out=0.0, batch_size=16,
+                     warm_up=1, burn_max_iters=4, burn_window=2)
+    sents, _ = generate_synthetic_corpus(num_sentences=96, vocab_size=20,
+                                         min_len=4, max_len=12, seed=5)
+    data = MonoTextData(sentences=sents)
+    assert len(data.vocab) % 4 == 0, len(data.vocab)
+    vae = build_text_vae(cfg, len(data.vocab))
+    params = vae.init(jax.random.PRNGKey(0))
+
+    def run(mesh, tp_axis=None):
+        pool = BucketedPool(data.create_data_batch(16, buckets=(8, 16)))
+        pool.shard(mesh)
+        epoch_fn, opt_init = make_train_epoch(vae, pool, cfg, mesh=mesh,
+                                              tp_axis=tp_axis)
+        p = jax.tree.map(jnp.copy, params)
+        opt = opt_init(p)
+        if tp_axis is not None:
+            p, opt = shard_tree(mesh, p), shard_tree(mesh, opt)
+        order = jnp.arange(pool.num_batches, dtype=jnp.int32)
+        return epoch_fn(p, opt, jax.random.PRNGKey(7), jnp.float32(0.5),
+                        jnp.float32(0.3), order, aggressive=True)
+
+    p_dp, _, klw1, sums1, ii1 = run(make_mesh(2))
+    p_tp, _, klw2, sums2, ii2 = run(make_tp_mesh(2, 4), tp_axis="tp")
+    assert float(klw1) == float(klw2)
+    assert int(ii1) == int(ii2) and int(ii2) > 0
+    for a, b in zip(sums1, sums2):
+        np.testing.assert_allclose(float(a), float(b), rtol=2e-5)
+    for (pa, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(p_dp),
+                               jax.tree_util.tree_leaves_with_path(p_tp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5,
+                                   err_msg=str(pa))
+
+
+@pytest.mark.slow  # two full train_text lifecycles (~2 min CPU jit)
+def test_cli_tp_end_to_end_matches_dp(tmp_path):
+    """VERDICT r3 item 2's done-criterion: the --tp_devices CLI path runs a
+    REAL training lifecycle (aggressive epochs, anneal, eval suite, save)
+    on the 8-device mesh and its final metrics match the DP-only run.
+
+    Tolerance is rel=5e-3 (documented): the vocab-sharded CE reorders the
+    logsumexp reduction, so trajectories drift at fp32 epsilon per step and
+    the drift compounds over 2 epochs x ~26 steps of SGD at lr 1.0 — the
+    runs are numerically distinct programs, not bit-equal replays.
+    decay_epoch is kept above epochs so a near-tie plateau comparison
+    cannot flip the lr schedule between the two runs."""
+    import os
+
+    from tests.test_train import tiny_cfg
+    from vae_lagging_encoder_tpu.data.synthetic import generate_synthetic_corpus
+    from vae_lagging_encoder_tpu.train import train_text
+
+    root = tmp_path / "data"
+    root.mkdir()
+    sents, topics = generate_synthetic_corpus(num_sentences=260, vocab_size=30,
+                                              min_len=4, max_len=20, seed=2)
+    for split, sl in {"train": slice(0, 200), "valid": slice(200, 230),
+                      "test": slice(230, 260)}.items():
+        with open(root / f"{split}.txt", "w") as fh:
+            for t, s in zip(topics[sl], sents[sl]):
+                fh.write(f"{t}\t" + " ".join(s) + "\n")
+
+    def run(tag, **kw):
+        cfg = tiny_cfg(
+            train_data=str(root / "train.txt"),
+            val_data=str(root / "valid.txt"),
+            test_data=str(root / "test.txt"), epochs=2, aggressive=True,
+            burn_max_iters=4, burn_window=2, decay_epoch=5,
+            save_path=str(tmp_path / f"model_{tag}.ckpt"), **kw)
+        return train_text(cfg)
+
+    r_dp = run("dp", dp_devices=2)
+    r_tp = run("tp", dp_devices=2, tp_devices=2)
+    for k in ("elbo_loss", "rec", "kl", "mi", "iw_nll"):
+        assert r_tp[k] == pytest.approx(r_dp[k], rel=5e-3, abs=5e-3), k
+    assert r_tp["au"] == r_dp["au"]
+    assert os.path.exists(str(tmp_path / "model_tp.ckpt"))
+
+
+def test_tp_image_model_rejected(tmp_path):
+    """--tp_devices shards the TEXT output projection; the image path must
+    refuse it up front rather than fail inside shard_map."""
+    from vae_lagging_encoder_tpu.config import get_config
+    from vae_lagging_encoder_tpu.data.pool import ImagePool
+    from vae_lagging_encoder_tpu.models import build_image_vae
+    from vae_lagging_encoder_tpu.train.loop import run_training
+    from vae_lagging_encoder_tpu.utils.exp_utils import Logger
+
+    cfg = get_config("omniglot", nz=4, batch_size=8, epochs=1, tp_devices=2)
+    rng_l = np.random.RandomState(0)
+    imgs = rng_l.rand(16, 28, 28, 1).astype(np.float32)
+    vae = build_image_vae(cfg)
+    params = vae.init(jax.random.PRNGKey(0))
+    pool = ImagePool(imgs, cfg.batch_size)
+    with pytest.raises(SystemExit, match="image"):
+        run_training(cfg, vae, params, pool, pool, pool, Logger(),
+                     loss_fn=object(), eval_loss_fn=object())

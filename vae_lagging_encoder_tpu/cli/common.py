@@ -48,6 +48,10 @@ def build_parser(default_dataset: str = "yahoo") -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"])
     p.add_argument("--use_pallas", type=int, default=None)
     p.add_argument("--dp_devices", type=int, default=None)
+    p.add_argument("--tp_devices", type=int, default=None,
+                   help="vocab-shard the decoder's output projection + CE "
+                        "over this many tensor-parallel devices (text "
+                        "models; composes with --dp_devices on a 2-D mesh)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of one epoch here")
     p.add_argument("--epoch_segment", type=int, default=None,

@@ -101,6 +101,11 @@ class ExperimentConfig:
     # reference-style intra-epoch progress.
     epoch_segment: int = 32
     dp_devices: int = 1              # data-parallel shards over the mesh
+    # tensor-parallel shards: the decoder's [nh, V] output projection and
+    # its CE are vocab-sharded over a second mesh axis (parallel/tp.py,
+    # distributed online-logsumexp + column-parallel VJP). Text models
+    # only; vocab must divide by it. Composes with dp (needs dp*tp devices).
+    tp_devices: int = 1
     # periodic fault-tolerance autosave every N training steps to
     # <save_path>.auto, incl. mid-epoch position — --resume restarts from
     # the exact segment boundary (SURVEY.md §5 failure-detection rebuild

@@ -30,10 +30,10 @@ Per-device program (under ``shard_map``):
   device scales by the same factor; DP grads are ``psum``'d over ``dp``
   and clipped after, matching ``dp.py`` clip-then-step order.
 
-Scope: the joint train step and an ELBO eval step (the surfaces where
-vocab TP pays); the fused whole-epoch program stays DP-only — threading a
-sharded optimizer state through its ``fori_loop`` carries is plumbing the
-40 MB flagship doesn't need (the win appears at 100k+ vocabs). The local
+Surfaces: the joint per-step train/eval steps below, AND the fused
+whole-epoch program (``train/epoch.py make_train_epoch(tp_axis=...)``,
+aggressive inner loop included) — the path ``--tp_devices`` drives from
+the text CLI (round 4; previously scoped out). The local
 logits here use plain XLA matmuls rather than the fused CE kernel: the
 kernel fuses projection+CE to avoid HBM logits, but returns the already-
 normalized target logp, which is not decomposable across shards; at
@@ -61,21 +61,38 @@ def make_tp_mesh(dp: int, tp: int, devices=None) -> Mesh:
     return Mesh(np.array(devices[: dp * tp]).reshape(dp, tp), ("dp", "tp"))
 
 
-def param_specs(params) -> Tuple:
-    """PartitionSpec pytree: ``dec.pred`` sharded on vocab, rest replicated."""
+def tree_pred_specs(tree, axis: str = "tp"):
+    """PartitionSpec pytree for ANY pytree carrying the decoder's output
+    projection: every 2-D leaf reached under a ``dec`` key whose final key
+    is ``pred`` is sharded ``P(None, axis)`` (vocab columns); everything
+    else replicated. Covers both params (``dec.pred``) and optimizer state
+    (``dec.{m,v}.pred`` for Adam, ``dec.v.pred`` for momentum-SGD), so the
+    fused epoch's carries keep the shard layout end to end."""
     def spec(path, leaf):
         keys = tuple(getattr(p, "key", None) for p in path)
-        if keys[:2] == ("dec", "pred"):
-            return P(None, "tp")
+        if ("dec" in keys and keys and keys[-1] == "pred"
+                and getattr(leaf, "ndim", 0) == 2):
+            return P(None, axis)
         return P()
-    return jax.tree_util.tree_map_with_path(spec, params)
+    return jax.tree_util.tree_map_with_path(spec, tree)
+
+
+def param_specs(params) -> Tuple:
+    """PartitionSpec pytree: ``dec.pred`` sharded on vocab, rest replicated."""
+    return tree_pred_specs(params)
+
+
+def shard_tree(mesh: Mesh, tree, axis: str = "tp"):
+    """Place any params/optimizer pytree with its pred leaves vocab-sharded
+    over ``axis`` (see ``tree_pred_specs``) and the rest replicated."""
+    return jax.tree.map(
+        lambda p, s: jax.device_put(p, NamedSharding(mesh, s)),
+        tree, tree_pred_specs(tree, axis))
 
 
 def shard_params(mesh: Mesh, params):
     """Place a replicated params pytree with ``dec.pred`` vocab-sharded."""
-    return jax.tree.map(
-        lambda p, s: jax.device_put(p, NamedSharding(mesh, s)),
-        params, param_specs(params))
+    return shard_tree(mesh, params)
 
 
 
@@ -180,7 +197,23 @@ def _tp_loss(vae, params, key, tokens, mask, row_weight, kl_weight,
     return loss.sum(), (loss.sum(), rec.sum(), kl.sum(), n_sents, n_words)
 
 
-def _clip_tp(grads, max_norm: float, axis: str = "tp"):
+def make_tp_loss_fn(vae, nsamples: int = 1, train: bool = True) -> Callable:
+    """``train/epoch.py make_loss_fn``-contract adapter over ``_tp_loss``:
+    (params, key, (tokens, mask, row_weight), kl_weight) -> (mean_loss,
+    (loss_sum, rec_sum, kl_sum, n_sents, n_words)), with the decoder's
+    output stage vocab-sharded over the ``tp`` axis. Must run under a
+    shard_map that carries that axis; plugs into the fused whole-epoch
+    program and the aggressive inner loop unchanged (their DP psum happens
+    in make_grad_on, exactly like the dense loss)."""
+    def loss_fn(params, key, batch, kl_weight):
+        tokens, mask, row_weight = batch
+        loss_sum, aux = _tp_loss(vae, params, key, tokens, mask, row_weight,
+                                 kl_weight, nsamples, train)
+        return loss_sum / jnp.maximum(aux[3], 1.0), aux
+    return loss_fn
+
+
+def clip_tp(grads, max_norm: float, axis: str = "tp"):
     """Global-norm clip where ``dec.pred`` is sharded over ``axis``: its
     sum-of-squares is psum'd so all devices see the same norm and scale.
     Same formula AND non-finite guard as ``optim.clip_by_global_norm``
@@ -226,7 +259,7 @@ def make_tp_train_step(vae, cfg, mesh: Mesh) -> Callable:
                                              has_aux=True)(params)
         grads = jax.lax.psum(grads, "dp")   # pred grad stays tp-local
         aux = jax.lax.psum(aux, "dp")
-        grads, _ = _clip_tp(grads, cfg.clip_grad)
+        grads, _ = clip_tp(grads, cfg.clip_grad)
         params, _ = sgd_update(params, grads, lr)
         return params, aux
 

@@ -79,7 +79,8 @@ def make_grad_on(loss_fn: Callable, axis: str | None = None) -> Callable:
 def make_aggressive_inner(loss_fn: Callable, pool: BucketedPool,
                           clip_grad: float, burn_max_iters: int,
                           burn_window: int, opt_update: Callable = None,
-                          axis: str | None = None):
+                          axis: str | None = None,
+                          clip_fn: Callable = clip_by_global_norm):
     """Build ``inner(params, opt_state, key, kl_weight, lr, arrays=None) ->
     (params, opt_state, sub_iters)``.
 
@@ -89,6 +90,9 @@ def make_aggressive_inner(loss_fn: Callable, pool: BucketedPool,
     ``opt_update(params, grads, state, lr)`` defaults to plain SGD.
     Under DP (``axis`` set) the psum'd plateau statistics are identical on
     every shard, so the while_loop condition stays replicated.
+    ``clip_fn`` defaults to the dense global-norm clip; under vocab TP the
+    caller passes ``parallel.tp.clip_tp`` so the norm psums the sharded
+    pred gradient's sum-of-squares over the tp axis.
     """
     grad_fn = make_grad_on(loss_fn, axis)
     if opt_update is None:
@@ -110,7 +114,7 @@ def make_aggressive_inner(loss_fn: Callable, pool: BucketedPool,
             grads, (loss_sum, _, _, _, n_words) = pool.switch(
                 bucket, idx, grad_on, arrays=arrays)
             # clip over the FULL tree, apply to the encoder only
-            grads, _ = clip_by_global_norm(grads, clip_grad)
+            grads, _ = clip_fn(grads, clip_grad)
             enc_new, enc_opt = opt_update(c.params["enc"], grads["enc"],
                                           c.opt_state["enc"], lr)
             params = dict(c.params, enc=enc_new)

@@ -92,7 +92,7 @@ def binarize_prep(key, batch):
 
 def make_train_epoch(vae: VAE, pool: BucketedPool, cfg,
                      loss_fn: Callable | None = None, mesh=None,
-                     axis: str = "dp"):
+                     axis: str = "dp", tp_axis: str | None = None):
     """Build ``(epoch_fn, opt_init)`` where
     ``epoch_fn(params, opt_state, key, kl_weight, lr, order, aggressive) ->
     (params, opt_state, kl_weight, stats, total_inner_iters)``.
@@ -108,9 +108,29 @@ def make_train_epoch(vae: VAE, pool: BucketedPool, cfg,
     under ``shard_map``: the pool must be batch-sharded over ``axis``
     (``pool.shard(mesh)``), params/optimizer state are replicated, and every
     gradient — outer and inner — is ``psum``'d over ICI (make_grad_on).
+
+    With ``tp_axis`` also set (a 2-D ``(dp, tp)`` mesh from
+    ``parallel.make_tp_mesh``), the decoder's output projection and its CE
+    are vocab-sharded over that axis (parallel/tp.py): the loss defaults to
+    ``make_tp_loss_fn``, grad clipping uses the tp-aware global norm, and
+    params/optimizer-state specs keep ``dec.pred`` (and its moments)
+    ``P(None, tp_axis)`` through the whole fused-epoch carry.
     """
-    loss_fn = loss_fn or make_loss_fn(vae, nsamples=cfg.nsamples, train=True)
     dp_axis = axis if mesh is not None else None
+    if tp_axis is not None:
+        if mesh is None:
+            raise ValueError("tp_axis requires a (dp, tp) mesh")
+        from functools import partial as _partial
+
+        from ..parallel.tp import clip_tp, make_tp_loss_fn, tree_pred_specs
+
+        loss_fn = loss_fn or make_tp_loss_fn(vae, nsamples=cfg.nsamples,
+                                             train=True)
+        clip_fn = _partial(clip_tp, axis=tp_axis)
+    else:
+        loss_fn = loss_fn or make_loss_fn(vae, nsamples=cfg.nsamples,
+                                          train=True)
+        clip_fn = clip_by_global_norm
     grad_fn = make_grad_on(loss_fn, dp_axis)
     opt_init_part, opt_update = make_optimizer(
         getattr(cfg, "optim", "sgd"), momentum=cfg.momentum)
@@ -121,7 +141,8 @@ def make_train_epoch(vae: VAE, pool: BucketedPool, cfg,
 
     inner = make_aggressive_inner(loss_fn, pool, cfg.clip_grad,
                                   cfg.burn_max_iters, cfg.burn_window,
-                                  opt_update=opt_update, axis=dp_axis)
+                                  opt_update=opt_update, axis=dp_axis,
+                                  clip_fn=clip_fn)
     flat_bucket, flat_idx = _flat_coords(pool)
     flat_bucket = jnp.asarray(flat_bucket)
     flat_idx = jnp.asarray(flat_idx)
@@ -160,7 +181,7 @@ def make_train_epoch(vae: VAE, pool: BucketedPool, cfg,
 
             grads, aux = pool.switch(bucket, idx, grad_on,
                                      arrays=local_arrays)
-            grads, _ = clip_by_global_norm(grads, cfg.clip_grad)
+            grads, _ = clip_fn(grads, cfg.clip_grad)
             if aggressive:
                 # decoder-only step while the aggressive flag is on
                 dec_new, dec_opt = opt_update(params["dec"], grads["dec"],
@@ -198,17 +219,48 @@ def make_train_epoch(vae: VAE, pool: BucketedPool, cfg,
         from jax.sharding import PartitionSpec as P
 
         spec_leaves = [s for specs in pool.batch_specs(axis) for s in specs]
+        # params/opt_state specs depend only on the pytrees' structure;
+        # build them from the real trees at first call (same cache pattern
+        # as parallel/tp.py) — replicated P() unless tp_axis shards pred.
+        cache = {}
 
-        @partial(jax.jit, static_argnames=("aggressive",),
-                 donate_argnums=(0, 1))
+        def _jitted(params, opt_state):
+            if "fn" not in cache:
+                if tp_axis is None:
+                    pspec, ospec = P(), P()
+                else:
+                    pspec = tree_pred_specs(params, tp_axis)
+                    ospec = tree_pred_specs(opt_state, tp_axis)
+
+                @partial(jax.jit, static_argnames=("aggressive",),
+                         donate_argnums=(0, 1))
+                def jitted(params, opt_state, key, kl_weight, lr, order,
+                           aggressive: bool = False):
+                    fn = jax.shard_map(
+                        partial(epoch_core, aggressive=aggressive), mesh=mesh,
+                        in_specs=(pspec, ospec, P(), P(), P(), P(),
+                                  *spec_leaves),
+                        out_specs=(pspec, ospec, P(), P(), P()),
+                        check_vma=False)
+                    return fn(params, opt_state, key, kl_weight, lr, order,
+                              *arr_leaves)
+
+                cache["fn"] = jitted
+            return cache["fn"]
+
         def epoch_fn(params, opt_state, key, kl_weight, lr, order,
                      aggressive: bool = False):
-            fn = jax.shard_map(
-                partial(epoch_core, aggressive=aggressive), mesh=mesh,
-                in_specs=(P(), P(), P(), P(), P(), P(), *spec_leaves),
-                out_specs=P(), check_vma=False)
-            return fn(params, opt_state, key, kl_weight, lr, order,
-                      *arr_leaves)
+            return _jitted(params, opt_state)(
+                params, opt_state, key, kl_weight, lr, order,
+                aggressive=aggressive)
+
+        # compile-only entry (tests/test_flagship_compile): specs derive
+        # from .ndim, so ShapeDtypeStruct trees work here too
+        def _lower(params, opt_state, *args, aggressive: bool = False):
+            return _jitted(params, opt_state).lower(
+                params, opt_state, *args, aggressive=aggressive)
+
+        epoch_fn.lower = _lower
 
     return epoch_fn, opt_init
 

@@ -76,10 +76,15 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
             "non-positive anneal window cannot reach kl_weight 1.0; use "
             "--kl_start 1.0 for no annealing or a positive --warm_up")
     mesh = None
-    if cfg.dp_devices > 1:
+    tp = cfg.tp_devices > 1
+    shard_tree = lambda m, t: t  # identity unless TP re-binds it below
+    if cfg.dp_devices > 1 or tp:
         # Data parallelism over ICI: batch-shard the device-resident pool
         # and run the fused epoch under shard_map with psum'd grads.
-        from ..parallel import make_mesh
+        # With --tp_devices the mesh gains a second axis vocab-sharding the
+        # decoder's output projection + CE (parallel/tp.py).
+        from ..parallel import make_mesh, make_tp_mesh
+        from ..parallel import shard_tree as _shard_tree
 
         if cfg.batch_size % cfg.dp_devices:
             raise SystemExit(
@@ -87,18 +92,44 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
                 f"--dp_devices {cfg.dp_devices} (the batch dim is sharded "
                 f"over the mesh; e.g. omniglot's default 50 needs 48 or 56 "
                 f"on an 8-chip mesh)")
-        mesh = make_mesh(cfg.dp_devices)
-        train_pool.shard(mesh)
-        log.info(f"[parallel] DP over mesh {dict(mesh.shape)}; pool batch-sharded")
+        if tp:
+            if loss_fn is not None or not hasattr(vae.decoder, "vocab_size"):
+                raise SystemExit(
+                    "--tp_devices shards the TEXT decoder's [nh, V] output "
+                    "projection; it does not apply to the image model")
+            if vae.decoder.vocab_size % cfg.tp_devices:
+                raise SystemExit(
+                    f"vocab size {vae.decoder.vocab_size} must be divisible "
+                    f"by --tp_devices {cfg.tp_devices} (the projection is "
+                    f"column-sharded over the tp axis)")
+            shard_tree = _shard_tree
+            mesh = make_tp_mesh(cfg.dp_devices, cfg.tp_devices)
+            params = shard_tree(mesh, params)
+        else:
+            mesh = make_mesh(cfg.dp_devices)
+        train_pool.shard(mesh)  # batch dim over "dp"; replicated over "tp"
+        log.info(f"[parallel] {'DPxTP' if tp else 'DP'} over mesh "
+                 f"{dict(mesh.shape)}; pool batch-sharded"
+                 + (f"; dec.pred vocab-sharded /{cfg.tp_devices}" if tp else ""))
     epoch_fn, opt_init = make_train_epoch(vae, train_pool, cfg,
-                                          loss_fn=loss_fn, mesh=mesh)
-    opt_state = opt_init(params)
+                                          loss_fn=loss_fn, mesh=mesh,
+                                          tp_axis="tp" if tp else None)
+    opt_state = shard_tree(mesh, opt_init(params))
     # eval suite sharded over the same mesh (batch-parallel, SURVEY.md §7
     # step 7); eval pools stay replicated — only the train pool is sharded.
     val_eval = make_eval_fn(vae, val_pool, loss_fn=eval_loss_fn, mesh=mesh)
     val_mi = make_mi_fn(vae, val_pool, prep=prep, mesh=mesh)
     # <ref>text.py evaluates on the TEST set every test_nepoch epochs too
     test_eval = make_eval_fn(vae, test_pool, loss_fn=eval_loss_fn, mesh=mesh)
+    if tp:
+        # Eval stays DENSE: the reducers need the full [nh, V] projection
+        # (their per-batch math is the single-device oracle), so gather the
+        # vocab-sharded params once per eval. Eval sets are small and this
+        # is a per-epoch host hop — the training path never gathers.
+        def _dense(fn):
+            return lambda p, key: fn(to_host(p), key)
+        val_eval, val_mi, test_eval = map(_dense, (val_eval, val_mi,
+                                                   test_eval))
     master_key = jax.random.PRNGKey(cfg.seed)
 
     kl_weight = float(cfg.kl_start)
@@ -167,7 +198,8 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
         if "opt_state" in resume_state:
             # restore Adam moments / SGD velocity; without this, optimizers
             # with state silently reset on resume (ADVICE.md round 1)
-            opt_state = jax.tree.map(jnp.asarray, resume_state["opt_state"])
+            opt_state = shard_tree(
+                mesh, jax.tree.map(jnp.asarray, resume_state["opt_state"]))
         log.info(f"[resume] from epoch {start_epoch}"
                  + (f" step {int(resume_mid['global_step'])}" if resume_mid
                     else "")
@@ -357,9 +389,10 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
                 lr *= cfg.lr_decay
                 decay_cnt += 1
                 not_improved = 0
-                params = jax.tree.map(jnp.asarray, best_params)
+                params = shard_tree(mesh,
+                                    jax.tree.map(jnp.asarray, best_params))
                 # reference rebuilds both optimizers at the new lr -> fresh state
-                opt_state = opt_init(params)
+                opt_state = shard_tree(mesh, opt_init(params))
                 log.info(f"epoch {epoch}: plateau — lr -> {lr:.4f} "
                          f"(decay {decay_cnt}/{cfg.max_decay}), rolled back to best")
                 if decay_cnt >= cfg.max_decay:
