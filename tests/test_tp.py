@@ -301,3 +301,32 @@ def test_tp_image_model_rejected(tmp_path):
     with pytest.raises(SystemExit, match="image"):
         run_training(cfg, vae, params, pool, pool, pool, Logger(),
                      loss_fn=object(), eval_loss_fn=object())
+
+
+def test_tp_shard_roundtrip_to_host():
+    """The checkpoint/resume path under TP: ``to_host`` must GATHER the
+    vocab-sharded tree to full host arrays (what save_checkpoint writes),
+    and ``shard_tree`` must re-place a loaded host tree with identical
+    values and dec.pred back on P(None, 'tp') — loop.py does exactly this
+    on --resume and on plateau rollback."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from vae_lagging_encoder_tpu.parallel import shard_tree
+    from vae_lagging_encoder_tpu.train import to_host
+
+    vae, params, *_ = _setup(dropout=0.0, seed=6)
+    mesh = make_tp_mesh(2, 4)
+    sp = shard_params(mesh, params)
+    host = to_host(sp)
+    for (path, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(params),
+                                 jax.tree_util.tree_leaves_with_path(host)):
+        assert isinstance(b, np.ndarray) and a.shape == b.shape, path
+        np.testing.assert_array_equal(np.asarray(a), b, err_msg=str(path))
+    rs = shard_tree(mesh, jax.tree.map(jnp.asarray, host))
+    assert rs["dec"]["pred"].sharding == NamedSharding(mesh, P(None, "tp"))
+    assert rs["enc"]["emb"].sharding == NamedSharding(mesh, P())
+    for (path, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(params),
+                                 jax.tree_util.tree_leaves_with_path(rs)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(path))
