@@ -40,6 +40,11 @@ import numpy as np
 
 PYTORCH_REF_STEPS_PER_SEC = 20.0  # documented estimate; see module docstring
 
+# v5e peak: 197 bf16 TFLOP/s per chip (the MXU rate the fused kernels hit;
+# fp32-accumulated — see RESULTS.md "perf anatomy"). mfu divides measured
+# model FLOPs/s by this.
+V5E_PEAK_FLOPS = 197e12
+
 VOCAB = 20_000
 NUM_SENTS = 3200
 BATCH = 32
@@ -93,6 +98,17 @@ def _run(use_pallas: bool) -> None:
     cfg = get_config("yahoo", use_pallas=use_pallas)
     data = MonoTextData(sentences=sents)
     pool = BucketedPool(data.create_data_batch(BATCH, cfg.length_buckets))
+
+    # analytic model FLOPs per average step (matmul MACs x2, fwd + ~2x bwd
+    # = x3 — same accounting as BASELINE.md's 612 GF/step table): every
+    # PADDED token position runs through the LSTM/vocab matmuls (static
+    # shapes), so positions are counted from the bucketed arrays.
+    per_token = 2 * ((cfg.ni + cfg.enc_nh) * 4 * cfg.enc_nh
+                     + (cfg.ni + cfg.nz + cfg.dec_nh) * 4 * cfg.dec_nh
+                     + cfg.dec_nh * len(data.vocab))
+    positions = sum(arrs[0].shape[0] * arrs[0].shape[1] * arrs[0].shape[2]
+                    for arrs in pool.arrays)
+    flops_per_step = 3 * per_token * positions / pool.num_batches
 
     vae = build_text_vae(cfg, len(data.vocab))
     params = vae.init(jax.random.PRNGKey(cfg.seed))
@@ -190,6 +206,9 @@ def _run(use_pallas: bool) -> None:
         "aggressive_steps_per_sec": round(aggr_sps, 2),
         "aggressive_inner_steps": inner,
         "beam_decode_sents_per_sec": round(beam_sps, 1),
+        # model-FLOPs utilization of the headline: analytic FLOPs/step
+        # (BASELINE.md accounting) x steps/s over the v5e bf16 peak
+        "mfu": round(sps * flops_per_step / V5E_PEAK_FLOPS, 4),
     }))
 
 

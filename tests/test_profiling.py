@@ -1,0 +1,135 @@
+"""utils/profiling.py: trace distillation (SURVEY.md §5 tracing row).
+
+The self-time computation is the load-bearing part — XLA-Ops events nest
+(while > conditional > fusion), so naive duration sums multi-count every
+container. The unit test builds a synthetic chrome trace with known
+nesting and checks exact self times; the loop test drives the real
+``--profile_dir`` hook on the CPU backend (no device timeline there, so
+the dossier must be skipped gracefully, not crash the run).
+"""
+import gzip
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vae_lagging_encoder_tpu.utils.profiling import (distill_trace,
+                                                     render_dossier,
+                                                     write_dossier)
+
+
+def _write_trace(tmp_path, events):
+    d = tmp_path / "plugins" / "profile" / "2026_01_01"
+    d.mkdir(parents=True)
+    with gzip.open(d / "host.trace.json.gz", "wt") as fh:
+        json.dump({"traceEvents": events}, fh)
+    return str(tmp_path)
+
+
+def _meta(pid, tid, pname, tname):
+    return [
+        {"ph": "M", "pid": pid, "name": "process_name",
+         "args": {"name": pname}},
+        {"ph": "M", "pid": pid, "tid": tid, "name": "thread_name",
+         "args": {"name": tname}},
+    ]
+
+
+def test_self_time_subtracts_nested_children(tmp_path):
+    """while [0,100] > conditional [10,90] > {matmul [20,50], fuse [60,80]}:
+    self times must be while 20, conditional 30, matmul 30, fuse 20 —
+    totalling the module's 100, with no double counting."""
+    ev = (_meta(3, 2, "/device:TPU:0", "XLA Modules")
+          + _meta(3, 3, "/device:TPU:0", "XLA Ops")
+          + [{"ph": "X", "pid": 3, "tid": 2, "name": "jit_f(1)",
+              "ts": 0, "dur": 100, "args": {}},
+             {"ph": "X", "pid": 3, "tid": 3, "name": "while.5", "ts": 0,
+              "dur": 100, "args": {"hlo_category": "while"}},
+             {"ph": "X", "pid": 3, "tid": 3, "name": "conditional.9",
+              "ts": 10, "dur": 80, "args": {"hlo_category": "conditional"}},
+             {"ph": "X", "pid": 3, "tid": 3, "name": "matmul.2", "ts": 20,
+              "dur": 30, "args": {"hlo_category": "convolution fusion",
+                                  "bytes_accessed": "5000000"}},
+             {"ph": "X", "pid": 3, "tid": 3, "name": "matmul.7", "ts": 60,
+              "dur": 20, "args": {"hlo_category": "convolution fusion"}}])
+    s = distill_trace(_write_trace(tmp_path, ev), steps=10)
+    assert s["device_busy_ms"] == pytest.approx(0.1)
+    assert s["ops_total_ms"] == pytest.approx(0.1)  # reconciles: no double count
+    rows = {(r["op"], r["category"]): r for r in s["table"]}
+    # .N suffixes group: both matmuls fold into one row with summed self
+    mm = rows[("matmul", "convolution fusion")]
+    assert mm["ms_total"] == pytest.approx(0.05) and mm["calls"] == 2
+    assert mm["gb_accessed"] == pytest.approx(0.005)
+    assert rows[("while", "while")]["ms_total"] == pytest.approx(0.02)
+    assert rows[("conditional", "conditional")]["ms_total"] == pytest.approx(0.03)
+    # ms_per_step divides by steps
+    assert mm["ms_per_step"] == pytest.approx(0.005)
+    cats = {c["category"]: c for c in s["categories"]}
+    assert cats["convolution fusion"]["pct_device"] == pytest.approx(50.0)
+    md = render_dossier(s, title="T")
+    assert "| matmul" in md.replace("`", "") and "convolution fusion" in md
+
+
+def test_sibling_events_not_treated_as_nested(tmp_path):
+    """Back-to-back siblings (B starts exactly where A ends) must both be
+    leaves — the stack pops A before crediting B."""
+    ev = (_meta(3, 3, "/device:TPU:0", "XLA Ops")
+          + [{"ph": "X", "pid": 3, "tid": 3, "name": "a", "ts": 0,
+              "dur": 10, "args": {"hlo_category": "x"}},
+             {"ph": "X", "pid": 3, "tid": 3, "name": "b", "ts": 10,
+              "dur": 15, "args": {"hlo_category": "x"}}])
+    s = distill_trace(_write_trace(tmp_path, ev), steps=1)
+    rows = {r["op"]: r for r in s["table"]}
+    assert rows["a"]["ms_total"] == pytest.approx(0.01)
+    assert rows["b"]["ms_total"] == pytest.approx(0.015)
+
+
+def test_no_device_timeline_returns_none(tmp_path):
+    """Host-only traces (CPU backend) yield None, and write_dossier skips."""
+    ev = (_meta(7, 1, "/host:CPU", "python")
+          + [{"ph": "X", "pid": 7, "tid": 1, "name": "np.asarray", "ts": 0,
+              "dur": 50, "args": {}}])
+    root = _write_trace(tmp_path, ev)
+    assert distill_trace(root, steps=4) is None
+    out = tmp_path / "D.md"
+    assert write_dossier(root, 4, str(out)) is None
+    assert not out.exists()
+
+
+def test_empty_trace_root_returns_none(tmp_path):
+    assert distill_trace(str(tmp_path), steps=1) is None
+
+
+@pytest.mark.slow  # one 2-epoch tiny training run (~60s CPU jit)
+def test_profile_dir_hook_runs_gracefully_on_cpu(tmp_path):
+    """--profile_dir on the CPU backend: the epoch-1 trace is captured,
+    the auto-dossier finds no device timeline and SKIPS without crashing,
+    and training completes with finite metrics."""
+    import jax
+
+    from vae_lagging_encoder_tpu.config import get_config
+    from vae_lagging_encoder_tpu.data import BucketedPool, MonoTextData
+    from vae_lagging_encoder_tpu.data.synthetic import generate_synthetic_corpus
+    from vae_lagging_encoder_tpu.models import build_text_vae
+    from vae_lagging_encoder_tpu.train.loop import run_training
+    from vae_lagging_encoder_tpu.utils.exp_utils import Logger
+
+    cfg = get_config("synthetic", ni=8, enc_nh=12, nz=2, dec_nh=12,
+                     batch_size=16, epochs=2, aggressive=False, warm_up=1,
+                     iw_nsamples=4, iw_batch=4, decay_epoch=5,
+                     dec_dropout_in=0.0, dec_dropout_out=0.0,
+                     profile_dir=str(tmp_path / "trace"),
+                     save_path=str(tmp_path / "m.ckpt"))
+    sents, _ = generate_synthetic_corpus(num_sentences=96, vocab_size=20,
+                                         min_len=4, max_len=12, seed=3)
+    data = MonoTextData(sentences=sents)
+    mk = lambda: BucketedPool(data.create_data_batch(16, buckets=(8, 16)))
+    vae = build_text_vae(cfg, len(data.vocab))
+    params = vae.init(jax.random.PRNGKey(0))
+    results = run_training(cfg, vae, params, mk(), mk(), mk(), Logger())
+    assert np.isfinite(results["elbo_loss"])
+    # the raw trace exists; the dossier was skipped (no device timeline on
+    # CPU) or written (if the backend ever grows one) — either is fine,
+    # but the run must not have crashed, which is the assertion above.
+    assert os.path.isdir(cfg.profile_dir)

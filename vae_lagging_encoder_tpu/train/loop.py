@@ -323,9 +323,31 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
                 return {"interrupted": True, "autosave_path": autosave_path,
                         "autosave_taken": os.path.exists(autosave_path)}
         if profiling:
-            jax.block_until_ready(kl_w_new)
+            # drain through a host pull — block_until_ready returns early
+            # on the tunneled axon platform (verify SKILL.md trap #2)
+            jax.device_get(kl_w_new)
             jax.profiler.stop_trace()
             log.info(f"[profile] trace for epoch 1 written to {cfg.profile_dir}")
+            # auto-distill the trace into an op-level dossier (SURVEY.md §5
+            # tracing row): self-time per op + HLO-category rollup, ms/step
+            # over everything epoch 1 ran (outer steps + inner burns)
+            from ..utils.profiling import write_dossier
+            dossier_path = os.path.join(cfg.profile_dir, "DOSSIER.md")
+            summary = write_dossier(
+                cfg.profile_dir,
+                steps=train_pool.num_batches + int(inner_iters),
+                out_path=dossier_path,
+                title=f"Epoch-1 profiler dossier ({cfg.dataset})")
+            if summary is None:
+                log.info("[profile] no device timeline in the trace (CPU "
+                         "backend runs emit none) — dossier skipped")
+            else:
+                top = summary["table"][0]
+                log.info(
+                    f"[profile] dossier -> {dossier_path}: "
+                    f"{summary['ms_per_step_device']:.2f} ms/step device; "
+                    f"top op {top['op']} ({top['category']}) "
+                    f"{top['pct_device']:.0f}%")
         kl_weight = float(kl_w_new)
         loss_s, rec_s, kl_s, n_sent, n_words = sums
         dt = time.time() - t0
