@@ -67,6 +67,26 @@ def build_bench_corpus():
     return sents
 
 
+def analytic_flops(cfg, vocab_size: int, pool, start: int = 0,
+                   steps: int | None = None):
+    """(total model FLOPs, n_batches) over the pool's flat batches
+    [start, start+steps): matmul MACs x2, fwd + ~2x bwd = x3 — the
+    accounting BASELINE.md's 612 GF/step table uses. Every PADDED token
+    position runs through the LSTM/vocab matmuls (static shapes), so
+    positions come from the bucketed arrays. Shared by the `mfu` field
+    below and experiments/profile_trace.py's device-MFU header — one
+    definition, or the two numbers would silently diverge."""
+    per_token = 2 * ((cfg.ni + cfg.enc_nh) * 4 * cfg.enc_nh
+                     + (cfg.ni + cfg.nz + cfg.dec_nh) * 4 * cfg.dec_nh
+                     + cfg.dec_nh * vocab_size)
+    flat = [(b, i) for b, arrs in enumerate(pool.arrays)
+            for i in range(arrs[0].shape[0])]
+    sl = flat[start:start + steps] if steps is not None else flat
+    positions = sum(pool.arrays[b][0].shape[1] * pool.arrays[b][0].shape[2]
+                    for b, _ in sl)
+    return 3 * per_token * positions, len(sl)
+
+
 def main() -> None:
     # The tunneled TPU worker occasionally crashes/restarts mid-run; retry
     # once, then fall back to the scan LSTM path so the driver always gets
@@ -99,16 +119,8 @@ def _run(use_pallas: bool) -> None:
     data = MonoTextData(sentences=sents)
     pool = BucketedPool(data.create_data_batch(BATCH, cfg.length_buckets))
 
-    # analytic model FLOPs per average step (matmul MACs x2, fwd + ~2x bwd
-    # = x3 — same accounting as BASELINE.md's 612 GF/step table): every
-    # PADDED token position runs through the LSTM/vocab matmuls (static
-    # shapes), so positions are counted from the bucketed arrays.
-    per_token = 2 * ((cfg.ni + cfg.enc_nh) * 4 * cfg.enc_nh
-                     + (cfg.ni + cfg.nz + cfg.dec_nh) * 4 * cfg.dec_nh
-                     + cfg.dec_nh * len(data.vocab))
-    positions = sum(arrs[0].shape[0] * arrs[0].shape[1] * arrs[0].shape[2]
-                    for arrs in pool.arrays)
-    flops_per_step = 3 * per_token * positions / pool.num_batches
+    total_flops, n_b = analytic_flops(cfg, len(data.vocab), pool)
+    flops_per_step = total_flops / n_b
 
     vae = build_text_vae(cfg, len(data.vocab))
     params = vae.init(jax.random.PRNGKey(cfg.seed))

@@ -72,22 +72,20 @@ def capture(steps: int, trace_root: str, start: int = 0,
     with jax.profiler.trace(trace_root):
         run(params, opt_state, 2)
 
-    # analytic model FLOPs/step over the traced slice (same accounting as
-    # bench.py's mfu: matmul MACs x2, fwd + ~2x bwd; padded positions)
-    per_token = 2 * ((cfg.ni + cfg.enc_nh) * 4 * cfg.enc_nh
-                     + (cfg.ni + cfg.nz + cfg.dec_nh) * 4 * cfg.dec_nh
-                     + cfg.dec_nh * len(data.vocab))
-    flat = [(b, i) for b, arrs in enumerate(pool.arrays)
-            for i in range(arrs[0].shape[0])]
-    positions = sum(pool.arrays[b][0].shape[1] * pool.arrays[b][0].shape[2]
-                    for b, _ in flat[start:start + steps])
+    # analytic model FLOPs/step over the traced slice — the SAME helper
+    # bench.py's mfu uses (one accounting definition)
+    slice_flops, n_sl = bench.analytic_flops(cfg, len(data.vocab), pool,
+                                             start=start, steps=steps)
     # aggressive inner steps are full fwd+bwd on pool-random batches;
     # count them at the outer slice's average positions/step (approx.)
     total_steps = steps + (inner_total[0] if aggressive else 0)
-    return {"steps": steps, "inner_steps": inner_total[0] if aggressive else 0,
+    # NB: no "steps" key — distill_trace owns it (outer+inner total), and
+    # summary.update(meta) must not clobber the divisor the table used
+    return {"outer_steps": steps,
+            "inner_steps": inner_total[0] if aggressive else 0,
             "total_steps": total_steps, "aggressive": aggressive,
             "wall_s_untraced": wall_s,
-            "flops_per_step": 3 * per_token * positions / steps,
+            "flops_per_step": slice_flops / n_sl,
             "platform": jax.devices()[0].platform,
             "device": str(jax.devices()[0])}
 
@@ -130,7 +128,7 @@ def main() -> None:
     inner = summary.get("inner_steps", 0)
     header = [
         f"- device: {summary.get('device', '?')}, "
-        f"{meta.get('steps', args.steps)} {mode} training steps"
+        f"{meta.get('outer_steps', args.steps)} {mode} training steps"
         + (f" (+{inner} inner encoder burns)" if inner else "")
         + f" in ONE fused-epoch dispatch (batches {args.start}.."
         f"{args.start + args.steps - 1})",

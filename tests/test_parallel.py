@@ -255,3 +255,37 @@ def test_dp_fused_epoch_matches_single_device_image():
         np.testing.assert_allclose(float(a), float(b), rtol=1e-5, atol=1e-6)
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_mesh_pool_reducer_honors_segment():
+    """make_pool_reducer(mesh=..., segment=...) must return the SAME sums
+    as the unsegmented mesh path and the single-device path — before the
+    round-4 fix the mesh branch silently ignored `segment`, so a tp-only
+    (dp=1) final IW eval ran the whole pool in one dispatch (the exact
+    ~86 s program the tunnel watchdog kills)."""
+    import jax.numpy as jnp
+
+    from vae_lagging_encoder_tpu.data import BucketedPool
+    from vae_lagging_encoder_tpu.train.epoch import make_pool_reducer
+
+    sents, _ = generate_synthetic_corpus(num_sentences=112, vocab_size=20,
+                                         min_len=4, max_len=12, seed=9)
+    data = MonoTextData(sentences=sents)
+    pool = BucketedPool(data.create_data_batch(16, buckets=(8, 16)))
+
+    def batch_fn(params, key, batch):
+        tokens, mask, rw = batch
+        noise = jax.random.uniform(key, ())  # key-sensitive: fold_in parity
+        return (jnp.sum(tokens * mask) * params + noise, rw.sum())
+
+    init = (jnp.float32(0.0), jnp.float32(0.0))
+    p = jnp.float32(2.0)
+    mesh = make_mesh(8)
+    base = make_pool_reducer(pool, batch_fn, init)(p, jax.random.PRNGKey(3))
+    whole = make_pool_reducer(pool, batch_fn, init, mesh=mesh)(
+        p, jax.random.PRNGKey(3))
+    seg = make_pool_reducer(pool, batch_fn, init, mesh=mesh, segment=2)(
+        p, jax.random.PRNGKey(3))
+    for a, b, c in zip(base, whole, seg):
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
+        np.testing.assert_allclose(float(a), float(c), rtol=1e-6)

@@ -133,3 +133,26 @@ def test_profile_dir_hook_runs_gracefully_on_cpu(tmp_path):
     # CPU) or written (if the backend ever grows one) — either is fine,
     # but the run must not have crashed, which is the assertion above.
     assert os.path.isdir(cfg.profile_dir)
+
+
+def test_multi_device_trace_reports_per_device_mean(tmp_path):
+    """An SPMD trace has one timeline per device pid running the same
+    program — ms/step must be the per-device mean, not the sum over the
+    mesh (code-review r4 finding)."""
+    ev = []
+    for pid in (3, 4):
+        ev += _meta(pid, 2, f"/device:TPU:{pid - 3}", "XLA Modules")
+        ev += _meta(pid, 3, f"/device:TPU:{pid - 3}", "XLA Ops")
+        ev += [{"ph": "X", "pid": pid, "tid": 2, "name": "jit_f(1)",
+                "ts": 0, "dur": 100, "args": {}},
+               {"ph": "X", "pid": pid, "tid": 3, "name": "matmul.1",
+                "ts": 0, "dur": 40,
+                "args": {"hlo_category": "convolution fusion",
+                         "bytes_accessed": "8000000"}}]
+    s = distill_trace(_write_trace(tmp_path, ev), steps=10)
+    assert s["devices"] == 2
+    assert s["device_busy_ms"] == pytest.approx(0.1)   # per device, not 0.2
+    row = s["table"][0]
+    assert row["ms_total"] == pytest.approx(0.04)
+    assert row["calls"] == 1 and row["gb_accessed"] == pytest.approx(0.008)
+    assert row["pct_device"] == pytest.approx(100.0)

@@ -120,13 +120,18 @@ def make_train_epoch(vae: VAE, pool: BucketedPool, cfg,
     if tp_axis is not None:
         if mesh is None:
             raise ValueError("tp_axis requires a (dp, tp) mesh")
-        from functools import partial as _partial
-
+        if loss_fn is not None:
+            # a dense loss under vocab-sharded in_specs would compute
+            # logits over only V/tp columns against GLOBAL token ids —
+            # silently wrong math, so refuse rather than accept
+            raise ValueError(
+                "tp_axis builds its own vocab-sharded loss "
+                "(parallel.tp.make_tp_loss_fn); a caller-supplied loss_fn "
+                "cannot be sharded for it — pass loss_fn=None")
         from ..parallel.tp import clip_tp, make_tp_loss_fn, tree_pred_specs
 
-        loss_fn = loss_fn or make_tp_loss_fn(vae, nsamples=cfg.nsamples,
-                                             train=True)
-        clip_fn = _partial(clip_tp, axis=tp_axis)
+        loss_fn = make_tp_loss_fn(vae, nsamples=cfg.nsamples, train=True)
+        clip_fn = partial(clip_tp, axis=tp_axis)
     else:
         loss_fn = loss_fn or make_loss_fn(vae, nsamples=cfg.nsamples,
                                           train=True)
@@ -322,7 +327,7 @@ def make_pool_reducer(pool: BucketedPool, batch_fn: Callable, init,
     per = -(-n // n_dev)
     arr_leaves = pool.flat_leaves()
 
-    def reduce_core(params, key, *arr_flat):
+    def reduce_core(params, key, start, stop, *arr_flat):
         local_arrays = pool.rebuild(list(arr_flat))
         d = jax.lax.axis_index(axis)
 
@@ -341,16 +346,32 @@ def make_pool_reducer(pool: BucketedPool, batch_fn: Callable, init,
                 lambda x: jnp.where(valid, x, jnp.zeros_like(x)), out)
             return jax.tree.map(jnp.add, acc, out)
 
-        acc = jax.lax.fori_loop(0, per, body, init)
+        acc = jax.lax.fori_loop(start, stop, body, init)
         return jax.lax.psum(acc, axis)
 
     @jax.jit
-    def reduce_fn(params, key):
+    def reduce_seg(params, key, start, stop):
         fn = jax.shard_map(
             reduce_core, mesh=mesh,
-            in_specs=(P(), P(), *([P()] * len(arr_leaves))),
+            in_specs=(P(), P(), P(), P(), *([P()] * len(arr_leaves))),
             out_specs=P(), check_vma=False)
-        return fn(params, key, *arr_leaves)
+        return fn(params, key, start, stop, *arr_leaves)
+
+    if segment is None:
+        return lambda params, key: reduce_seg(params, key, 0, per)
+
+    # Segmented dispatches, same reason as the single-device branch above
+    # (the tunneled worker kills long unattended executions — at dp=1 with
+    # a tp-only mesh every device would otherwise loop the WHOLE pool in
+    # one program, exactly the ~86 s IW crash case). Segments bound the
+    # PER-DEVICE loop [0, per); per-batch fold_in keys are unchanged, so
+    # only the final host-side summation order regroups.
+    def reduce_fn(params, key):
+        acc = init
+        for s in range(0, per, segment):
+            out = reduce_seg(params, key, s, min(s + segment, per))
+            acc = jax.tree.map(jnp.add, acc, out)
+        return acc
 
     return reduce_fn
 

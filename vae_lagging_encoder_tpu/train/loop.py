@@ -123,11 +123,21 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
     test_eval = make_eval_fn(vae, test_pool, loss_fn=eval_loss_fn, mesh=mesh)
     if tp:
         # Eval stays DENSE: the reducers need the full [nh, V] projection
-        # (their per-batch math is the single-device oracle), so gather the
-        # vocab-sharded params once per eval. Eval sets are small and this
-        # is a per-epoch host hop — the training path never gathers.
+        # (their per-batch math is the single-device oracle), so gather
+        # the vocab-sharded params once per eval — ON DEVICE, via a
+        # device_put reshard to the replicated spec (an XLA all-gather
+        # over ICI; no host hop, the tunnel's weak axis). The training
+        # path never gathers.
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        replicated = NamedSharding(mesh, P())
+
         def _dense(fn):
-            return lambda p, key: fn(to_host(p), key)
+            def wrapped(p, key):
+                return fn(jax.tree.map(
+                    lambda x: jax.device_put(x, replicated), p), key)
+            return wrapped
         val_eval, val_mi, test_eval = map(_dense, (val_eval, val_mi,
                                                    test_eval))
     master_key = jax.random.PRNGKey(cfg.seed)

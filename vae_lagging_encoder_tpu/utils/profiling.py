@@ -67,6 +67,10 @@ def distill_trace(trace_root: str, steps: int) -> Optional[dict]:
             by_tid[(e["pid"], e["tid"])].append(e)
     if not by_tid:
         return None
+    # Multi-device traces carry one timeline PER device pid, all executing
+    # the same SPMD program in parallel — report the PER-DEVICE mean, not
+    # the sum, or every ms/step metric inflates by the mesh size.
+    n_dev = len({pid for pid, _ in by_tid})
 
     ops = collections.Counter()      # (base name, category) -> self us
     counts = collections.Counter()
@@ -104,22 +108,23 @@ def distill_trace(trace_root: str, steps: int) -> Optional[dict]:
                 pass
 
     total_us = sum(ops.values())
+    per_dev = 1e3 * n_dev  # us -> per-device ms
     table = [{
         "op": name, "category": cat,
-        "ms_total": round(us / 1e3, 3),
-        "ms_per_step": round(us / 1e3 / steps, 4),
+        "ms_total": round(us / per_dev, 3),
+        "ms_per_step": round(us / per_dev / steps, 4),
         "pct_device": round(100.0 * us / max(total_us, 1e-9), 2),
-        "calls": counts[(name, cat)],
-        "gb_accessed": round(bytes_acc[(name, cat)] / 1e9, 3),
+        "calls": int(round(counts[(name, cat)] / n_dev)),
+        "gb_accessed": round(bytes_acc[(name, cat)] / 1e9 / n_dev, 3),
     } for (name, cat), us in ops.most_common()]
     categories = [{
-        "category": c, "ms_per_step": round(us / 1e3 / steps, 4),
+        "category": c, "ms_per_step": round(us / per_dev / steps, 4),
         "pct_device": round(100.0 * us / max(total_us, 1e-9), 2),
     } for c, us in cats.most_common()]
-    return {"trace": path, "steps": steps,
-            "device_busy_ms": round(modules_us / 1e3, 3),
-            "ops_total_ms": round(total_us / 1e3, 3),
-            "ms_per_step_device": round(total_us / 1e3 / steps, 4),
+    return {"trace": path, "steps": steps, "devices": n_dev,
+            "device_busy_ms": round(modules_us / per_dev, 3),
+            "ops_total_ms": round(total_us / per_dev, 3),
+            "ms_per_step_device": round(total_us / per_dev / steps, 4),
             "categories": categories, "table": table}
 
 
@@ -129,6 +134,9 @@ def render_dossier(summary: dict, title: str = "Profiler dossier",
     steps = max(summary.get("steps", 1), 1)
     lines = [f"# {title}", ""]
     lines += list(header_lines)
+    if summary.get("devices", 1) > 1:
+        lines.append(f"- per-device mean over {summary['devices']} device "
+                     f"timelines (SPMD)")
     lines += [
         f"- device-busy (XLA Modules): {summary['device_busy_ms']:.1f} ms "
         f"→ {summary['device_busy_ms'] / steps:.2f} ms/step "
