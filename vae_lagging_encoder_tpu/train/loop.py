@@ -247,8 +247,11 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
         order = rng.permutation(train_pool.num_batches).astype(np.int32)
         k_epoch = jax.random.fold_in(master_key, epoch)
         # SURVEY.md §5 tracing row: optional jax.profiler capture of the
-        # first post-compile epoch (epoch 1; epoch 0 is compile-dominated).
-        profiling = cfg.profile_dir and epoch == 1
+        # first post-compile epoch (epoch 1; epoch 0 is compile-dominated)
+        # — or whatever first epoch this run actually executes (--epochs 1,
+        # resume), so --profile_dir never silently produces nothing.
+        profiling = (cfg.profile_dir
+                     and epoch == max(start_epoch, min(1, cfg.epochs - 1)))
         if profiling:
             jax.profiler.start_trace(cfg.profile_dir)
         sums = tuple(0.0 for _ in range(5))
@@ -337,7 +340,8 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
             # on the tunneled axon platform (verify SKILL.md trap #2)
             jax.device_get(kl_w_new)
             jax.profiler.stop_trace()
-            log.info(f"[profile] trace for epoch 1 written to {cfg.profile_dir}")
+            log.info(f"[profile] trace for epoch {epoch} written to "
+                     f"{cfg.profile_dir}")
             # auto-distill the trace into an op-level dossier (SURVEY.md §5
             # tracing row): self-time per op + HLO-category rollup, ms/step
             # over everything epoch 1 ran (outer steps + inner burns)
@@ -347,7 +351,7 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
                 cfg.profile_dir,
                 steps=train_pool.num_batches + int(inner_iters),
                 out_path=dossier_path,
-                title=f"Epoch-1 profiler dossier ({cfg.dataset})")
+                title=f"Epoch-{epoch} profiler dossier ({cfg.dataset})")
             if summary is None:
                 log.info("[profile] no device timeline in the trace (CPU "
                          "backend runs emit none) — dossier skipped")
