@@ -101,11 +101,14 @@ def test_empty_trace_root_returns_none(tmp_path):
     assert distill_trace(str(tmp_path), steps=1) is None
 
 
-@pytest.mark.slow  # one 2-epoch tiny training run (~60s CPU jit)
-def test_profile_dir_hook_runs_gracefully_on_cpu(tmp_path):
-    """--profile_dir on the CPU backend: the epoch-1 trace is captured,
-    the auto-dossier finds no device timeline and SKIPS without crashing,
-    and training completes with finite metrics."""
+@pytest.mark.slow  # tiny training runs (~60s CPU jit)
+@pytest.mark.parametrize("epochs", [2, 1])
+def test_profile_dir_hook_runs_gracefully_on_cpu(tmp_path, epochs):
+    """--profile_dir on the CPU backend: the first post-compile epoch's
+    trace is captured (epoch 1 normally; epoch 0 when --epochs 1, which
+    previously fired NOTHING — round-4 fix), the auto-dossier finds no
+    device timeline and SKIPS without crashing, and training completes
+    with finite metrics."""
     import jax
 
     from vae_lagging_encoder_tpu.config import get_config
@@ -116,7 +119,7 @@ def test_profile_dir_hook_runs_gracefully_on_cpu(tmp_path):
     from vae_lagging_encoder_tpu.utils.exp_utils import Logger
 
     cfg = get_config("synthetic", ni=8, enc_nh=12, nz=2, dec_nh=12,
-                     batch_size=16, epochs=2, aggressive=False, warm_up=1,
+                     batch_size=16, epochs=epochs, aggressive=False, warm_up=1,
                      iw_nsamples=4, iw_batch=4, decay_epoch=5,
                      dec_dropout_in=0.0, dec_dropout_out=0.0,
                      profile_dir=str(tmp_path / "trace"),
