@@ -132,7 +132,12 @@ def _run(use_pallas: bool) -> None:
         params, opt_state, kl_w, sums, _ = epoch_fn(
             params, opt_state, jax.random.PRNGKey(seed), kl_w,
             jnp.float32(1.0), order, aggressive=False)
-        jax.block_until_ready(sums)
+        # real host pull, not block_until_ready: the tunneled platform's
+        # block_until_ready can return without waiting (verify-skill trap
+        # #2; the unroll probe measured 271k "steps/s" that way). sums is
+        # an output of the same XLA program as params, so pulling it
+        # cannot complete before the epoch has.
+        np.asarray(sums)
         return params, opt_state, kl_w, sums
 
     # warmup epoch (compile)
@@ -171,8 +176,8 @@ def _run(use_pallas: bool) -> None:
                 params, opt_state,
                 jax.random.fold_in(jax.random.PRNGKey(seed), s), kl_w,
                 jnp.float32(1.0), chunk, aggressive=True)
-            inner += int(seg_inner)
-        jax.block_until_ready(sums)
+            inner += int(seg_inner)  # host pull: forces each segment
+        np.asarray(sums)
         return params, opt_state, kl_w, inner
 
     # warmup (compiles both segment widths), then RE-INITIALIZE so the

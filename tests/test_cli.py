@@ -23,6 +23,8 @@ def test_flags_win_over_config():
                  "--epochs", "7", "--aggressive", "1", "--seed", "1"])
     assert cfg.optim == "sgd" and cfg.lr == 0.5 and cfg.epochs == 7
     assert cfg.aggressive is True and cfg.seed == 1
+    cfg = parse(["--dataset", "yahoo", "--loop_unroll", "4"])
+    assert cfg.loop_unroll == 4
 
 
 def test_store_true_flags_do_not_clobber():

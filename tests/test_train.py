@@ -97,6 +97,30 @@ def test_epoch_fn_trains_and_anneals(setup):
     assert np.isfinite(loss2)
 
 
+def test_epoch_fn_loop_unroll_bit_exact(setup):
+    """loop_unroll is a pure scheduling knob: the fused plain epoch must be
+    BIT-identical at any factor, including one that does not divide the
+    step count (lax.scan pads the last partial group with a predicated
+    remainder)."""
+    cfg, data, pool, vae, params = setup
+    # 7 steps with unroll 3 exercises the non-divisible remainder path
+    order = jnp.arange(pool.num_batches, dtype=jnp.int32)[:7]
+    assert order.shape[0] == 7
+    results = []
+    for unroll in (1, 3):
+        epoch_fn, opt_init = make_train_epoch(vae, pool,
+                                              cfg.replace(loop_unroll=unroll))
+        p0 = jax.tree.map(jnp.copy, params)
+        results.append(epoch_fn(p0, opt_init(p0), jax.random.PRNGKey(2),
+                                jnp.float32(0.1), jnp.float32(1.0), order,
+                                aggressive=False))
+    (p1, _, klw1, sums1, _), (p3, _, klw3, sums3, _) = results
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p3)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(sums1), np.asarray(sums3))
+    assert float(klw1) == float(klw3)
+
+
 @pytest.mark.slow  # 33s; aggressive semantics stay covered fast by
 # test_aggressive_inner_updates_encoder_only + the golden epoch
 def test_epoch_fn_aggressive_runs_inner(setup):

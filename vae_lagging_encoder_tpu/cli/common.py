@@ -56,6 +56,10 @@ def build_parser(default_dataset: str = "yahoo") -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace of one epoch here")
     p.add_argument("--epoch_segment", type=int, default=None,
                    help="max batches per device dispatch (0 = whole epoch)")
+    p.add_argument("--loop_unroll", type=int, default=None,
+                   help="unroll factor for the fused plain-epoch loop "
+                        "(bit-exact scheduling knob; measured neutral on "
+                        "v5e-1 at flagship shape — see RESULTS.md)")
     p.add_argument("--autosave_niter", type=int, default=None,
                    help="fault-tolerance autosave every N steps to "
                         "<save_path>.auto; --resume restarts mid-epoch "

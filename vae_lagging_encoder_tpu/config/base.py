@@ -106,6 +106,16 @@ class ExperimentConfig:
     # distributed online-logsumexp + column-parallel VJP). Text models
     # only; vocab must divide by it. Composes with dp (needs dp*tp devices).
     tp_devices: int = 1
+    # unroll factor for the fused plain-epoch fori_loop (static bounds →
+    # lax.scan): >1 packs several training steps into one loop body, so the
+    # ~54 MB param carry crosses the loop boundary once per `loop_unroll`
+    # steps. Bit-exact at any factor (tests/test_train.py). Measured on
+    # v5e-1 at flagship yahoo shape (experiments/unroll_probe.py): NEUTRAL
+    # (168.5 vs 168.9 steps/s at 4 vs 1) while compile grows 58s->296s —
+    # XLA already buffer-aliases the scan carry, so the profile dossier's
+    # copy bucket is not unroll-addressable. Kept as a tuning lever for
+    # other shapes; leave at 1 on v5e. Aggressive epochs ignore it.
+    loop_unroll: int = 1
     # periodic fault-tolerance autosave every N training steps to
     # <save_path>.auto, incl. mid-epoch position — --resume restarts from
     # the exact segment boundary (SURVEY.md §5 failure-detection rebuild

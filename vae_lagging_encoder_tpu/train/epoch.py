@@ -151,6 +151,7 @@ def make_train_epoch(vae: VAE, pool: BucketedPool, cfg,
     flat_bucket, flat_idx = _flat_coords(pool)
     flat_bucket = jnp.asarray(flat_bucket)
     flat_idx = jnp.asarray(flat_idx)
+    loop_unroll = int(getattr(cfg, "loop_unroll", 1) or 1)
     # warm_up <= 0 is valid only with kl_start 1.0 (no annealing; run_training
     # rejects the contradictory combination up front)
     anneal_rate = ((1.0 - cfg.kl_start) / (cfg.warm_up * pool.num_batches)
@@ -207,10 +208,17 @@ def make_train_epoch(vae: VAE, pool: BucketedPool, cfg,
         # bound = the order array's length, so the host can run an epoch in
         # SEGMENTS (bounded single-dispatch runtime: the tunneled worker
         # kills executions that run unattended for many minutes, and it
-        # restores reference-style intra-epoch logging)
+        # restores reference-style intra-epoch logging).
+        # unroll: static bounds lower this to lax.scan, where unroll>1 puts
+        # several steps in one loop body — fewer carry-boundary crossings
+        # for the ~54 MB param carry (the profile dossier's 15% copy/DMA
+        # bucket). Plain path only: the aggressive body embeds the inner
+        # while_loop, whose duplicated program is not worth the compile.
+        unroll = 1 if aggressive else max(1, loop_unroll)
         params, opt_state, _, kl_weight, sums, inner_iters = jax.lax.fori_loop(
             0, order.shape[0], body,
-            (params, opt_state, key, kl_weight, zeros, jnp.int32(0)))
+            (params, opt_state, key, kl_weight, zeros, jnp.int32(0)),
+            unroll=unroll)
         return params, opt_state, kl_weight, sums, inner_iters
 
     if mesh is None:
