@@ -233,6 +233,141 @@ def test_aggressive_trajectory_with_decay_rollback():
     assert worst < 1e-4, worst
 
 
+def test_image_aggressive_trajectory_matches():
+    """Image-path trajectory parity: the ResNet+PixelCNN fused epoch
+    (dynamic binarization drawn on device EVERY step AND every inner burn,
+    <ref>image.py §main / SURVEY.md §3.4) tracked against the torch replica
+    over 2 aggressive epochs. The binarization draw and the
+    reparameterization eps are both re-derived from the same PRNG schedule
+    (step key -> split(k_loss) -> bernoulli key + vae.loss's k_enc), so the
+    torch side sees the identical binary images and noise while making its
+    own gradient/clip/plateau decisions — multi-step evidence that the image
+    modality's dynamics (not just one step, test_torch_parity.py) match.
+
+    Measured on this box (2026-08-19, jax 0.9.0 / torch CPU f32): inner
+    counts match exactly, per-epoch summed loss <= 4.3e-6 relative, worst
+    final param drift 4.6e-4 absolute (conv stacks compound fp32
+    reduction-order noise faster than the LSTM path; the discrete plateau
+    decisions and epoch losses matching is the semantic evidence). Bounds
+    below carry ~10x headroom on params, >20x on losses."""
+    from vae_lagging_encoder_tpu.data import ImagePool
+    from vae_lagging_encoder_tpu.models import (PixelCNNDecoderV2,
+                                                ResNetEncoderV2)
+    from vae_lagging_encoder_tpu.train.epoch import make_image_loss_fn
+    from torch_replica import TorchImageVAE
+    import torch
+
+    INZ, ICH, ILAY, IFIL, IB, IHW = 5, (4, 4), 2, 6, 4, 8
+    cfg = get_config("omniglot", batch_size=IB, optim="sgd", momentum=0.0,
+                     lr=0.1, clip_grad=5.0, kl_start=0.1, warm_up=1,
+                     burn_max_iters=4, burn_window=2, nsamples=1)
+    probs = np.random.RandomState(5).rand(24, IHW, IHW, 1).astype(np.float32)
+    pool = ImagePool(probs, IB)
+    enc = ResNetEncoderV2(INZ, channels=ICH, img_size=(IHW, IHW, 1))
+    dec = PixelCNNDecoderV2(INZ, img_size=(IHW, IHW, 1), n_layers=ILAY,
+                            filters=IFIL, first_kernel=3)
+    vae = VAE(enc, dec)
+    params = vae.init(jax.random.PRNGKey(21))
+    tm = TorchImageVAE(jax.device_get(params), INZ, ICH, (IHW, IHW, 1),
+                       ILAY, IFIL, 3)
+    host_probs = [np.asarray(a) for a in pool.arrays[0]]  # (probs, rw) stacks
+
+    enc_t = ([p for blk in tm.blocks for p in blk.parameters()]
+             + list(tm.fc.parameters()))
+    dec_t = (list(tm.layers.parameters()) + list(tm.zconds.parameters())
+             + list(tm.out_conv.parameters()))
+
+    def torch_step(i_batch, key_loss, kl_w, which):
+        """Mirror make_image_loss_fn + clip-ALL + selective SGD: re-derive
+        the on-device bernoulli draw and vae.loss's eps from key_loss."""
+        pb, rw = host_probs[0][i_batch], host_probs[1][i_batch]
+        k_bin, k_loss2 = jax.random.split(key_loss)
+        x = np.asarray(jax.random.bernoulli(k_bin, jnp.asarray(pb)),
+                       np.float32)
+        k_enc, _ = jax.random.split(k_loss2)
+        eps = np.asarray(jax.random.normal(k_enc, (IB, 1, INZ)), np.float32)
+        loss_rows, _, _ = tm.loss(torch.from_numpy(x), torch.from_numpy(eps),
+                                  float(kl_w))
+        w = torch.from_numpy(rw)
+        loss_sum = (loss_rows * w).sum()
+        obj = loss_sum / torch.clamp(w.sum(), min=1.0)
+        tm.zero_grad()
+        obj.backward()
+        torch.nn.utils.clip_grad_norm_(tm.parameters(), cfg.clip_grad)
+        upd = {"enc": enc_t, "dec": dec_t,
+               "both": enc_t + dec_t}[which]
+        with torch.no_grad():
+            for p in upd:
+                if p.grad is not None:
+                    p -= cfg.lr * p.grad
+        return float(loss_sum.detach()), float(rw.sum()) * IHW * IHW
+
+    def torch_inner(key, kl_w):
+        pre, cur, pixels, sub = math.inf, 0.0, 0.0, 0
+        while sub < cfg.burn_max_iters:
+            key, k_pick, k_loss = jax.random.split(key, 3)
+            flat = int(jax.random.randint(k_pick, (), 0, pool.num_batches))
+            ls, npx = torch_step(flat, k_loss, kl_w, "enc")
+            sub += 1
+            cur += ls
+            pixels += npx
+            if sub % cfg.burn_window == 0:
+                avg = cur / max(pixels, 1.0)
+                if pre < avg:
+                    break
+                pre, cur, pixels = avg, 0.0, 0.0
+        return sub
+
+    epoch_fn, opt_init = make_train_epoch(
+        vae, pool, cfg, loss_fn=make_image_loss_fn(vae, nsamples=1))
+    opt_state = opt_init(params)
+    anneal = np.float32((1.0 - cfg.kl_start) / (1 * pool.num_batches))
+    rng = np.random.RandomState(2)
+    kl_j, kl_t = jnp.float32(cfg.kl_start), float(cfg.kl_start)
+    for epoch in range(2):
+        order = rng.permutation(pool.num_batches).astype(np.int32)
+        k_e = jax.random.fold_in(jax.random.PRNGKey(23), epoch)
+        params, opt_state, kl_j, sums, inner_j = epoch_fn(
+            params, opt_state, k_e, kl_j, jnp.float32(cfg.lr),
+            jnp.asarray(order), aggressive=True)
+        key, inner_t, loss_t = k_e, 0, 0.0
+        for flat in order:
+            key, k_inner, k_loss = jax.random.split(key, 3)
+            kl_t = float(np.minimum(np.float32(1.0), np.float32(kl_t) + anneal))
+            inner_t += torch_inner(k_inner, kl_t)
+            ls, _ = torch_step(int(flat), k_loss, kl_t, "dec")
+            loss_t += ls
+        # discrete plateau decisions must agree EXACTLY
+        assert int(inner_j) == inner_t, (epoch, int(inner_j), inner_t)
+        assert inner_t > 0
+        np.testing.assert_allclose(float(kl_j), kl_t, rtol=1e-6)
+        np.testing.assert_allclose(float(sums[0]), loss_t, rtol=1e-4)
+
+    p = jax.device_get(params)
+    worst = 0.0
+    for i, blk in enumerate(p["enc"]["blocks"]):
+        tb = tm.blocks[i]
+        for name, tw in (("down", tb["down"]), ("conv1", tb["conv1"]),
+                         ("conv2", tb["conv2"])):
+            d = np.abs(np.asarray(blk[name])
+                       - tw.weight.permute(2, 3, 1, 0).detach().numpy()).max()
+            worst = max(worst, float(d))
+    worst = max(worst, float(np.abs(
+        np.asarray(p["enc"]["fc"]) - tm.fc.weight.T.detach().numpy()).max()))
+    for i, layer in enumerate(p["dec"]["layers"]):
+        worst = max(worst, float(np.abs(
+            np.asarray(layer["w"])
+            - tm.layers[i].weight.permute(2, 3, 1, 0).detach().numpy()).max()))
+        worst = max(worst, float(np.abs(
+            np.asarray(layer["wz"])
+            - tm.zconds[i].weight.T.detach().numpy()).max()))
+    worst = max(worst, float(np.abs(
+        np.asarray(p["dec"]["out_w"])
+        - tm.out_conv.weight.permute(2, 3, 1, 0).detach().numpy()).max()))
+    # measured 4.6e-4; ~10x headroom (docstring)
+    assert worst < 5e-3, worst
+
+
 def test_plain_trajectory_matches():
     """Same harness, aggressive OFF: the joint-update path over 2 epochs."""
     cfg, pool, vae, params, V = _setup()
