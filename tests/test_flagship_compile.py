@@ -45,15 +45,9 @@ def _flagship_pool(lengths=(64, 96), batches_per_bucket=2) -> BucketedPool:
     return BucketedPool(tbs)
 
 
-def test_flagship_dp_fused_epoch_compiles_on_8way_mesh():
-    cfg = get_config("yahoo")  # flagship dims incl. use_pallas default
-    assert (cfg.ni, cfg.enc_nh, cfg.dec_nh, cfg.nz) == (512, 1024, 1024, 32)
-    vae = build_text_vae(cfg, V)
-    mesh = make_mesh(8)
-    pool = _flagship_pool().shard(mesh)
-    epoch_fn, opt_init = make_train_epoch(vae, pool, cfg, mesh=mesh)
-
-    # abstract params/optimizer state: compile-only, nothing materialized
+def _compile_check(epoch_fn, opt_init, vae, pool):
+    """Lower+compile the fused epoch with abstract params at flagship dims
+    and assert the executable's param outputs keep their shapes."""
     p_sds = jax.eval_shape(vae.init, jax.random.PRNGKey(0))
     opt_sds = jax.eval_shape(opt_init, p_sds)
     order = jnp.arange(pool.num_batches, dtype=jnp.int32)
@@ -64,7 +58,34 @@ def test_flagship_dp_fused_epoch_compiles_on_8way_mesh():
     # outer-update branches' shapes)
     compiled = epoch_fn.lower(p_sds, opt_sds, key_sds, f32, f32, order,
                               aggressive=True).compile()
-    # the executable's param outputs keep the flagship shapes
     out_shapes = jax.tree.leaves(compiled.out_info)[:len(jax.tree.leaves(p_sds))]
     in_shapes = jax.tree.leaves(p_sds)
     assert [o.shape for o in out_shapes] == [i.shape for i in in_shapes]
+
+
+def test_flagship_dp_fused_epoch_compiles_on_8way_mesh():
+    cfg = get_config("yahoo")  # flagship dims incl. use_pallas default
+    assert (cfg.ni, cfg.enc_nh, cfg.dec_nh, cfg.nz) == (512, 1024, 1024, 32)
+    vae = build_text_vae(cfg, V)
+    mesh = make_mesh(8)
+    pool = _flagship_pool().shard(mesh)
+    epoch_fn, opt_init = make_train_epoch(vae, pool, cfg, mesh=mesh)
+
+    _compile_check(epoch_fn, opt_init, vae, pool)
+
+
+def test_flagship_dp_tp_fused_epoch_compiles_on_2x4_mesh():
+    """Same shape-regression net for the DP x TP path (--dp_devices 2
+    --tp_devices 4): the vocab-sharded fused epoch (tp loss, tp-aware
+    clip, dec.pred P(None, tp) through the whole carry) must compile at
+    real Yahoo dims. V=20004 divides by tp=4; B=32 by dp=2."""
+    from vae_lagging_encoder_tpu.parallel import make_tp_mesh
+
+    cfg = get_config("yahoo")
+    vae = build_text_vae(cfg, V)
+    assert vae.decoder.vocab_size % 4 == 0
+    mesh = make_tp_mesh(2, 4)
+    pool = _flagship_pool().shard(mesh)
+    epoch_fn, opt_init = make_train_epoch(vae, pool, cfg, mesh=mesh,
+                                          tp_axis="tp")
+    _compile_check(epoch_fn, opt_init, vae, pool)
