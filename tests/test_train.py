@@ -97,6 +97,25 @@ def test_epoch_fn_trains_and_anneals(setup):
     assert np.isfinite(loss2)
 
 
+def test_pick_segment_auto_and_explicit():
+    """--epoch_segment None = auto per mode (watchdog-bounded, amortizes
+    the measured ~85-140 ms/dispatch tunnel overhead); explicit N keeps
+    the legacy log_niter cap; 0 = whole epoch."""
+    from vae_lagging_encoder_tpu.train.loop import (AGGRESSIVE_SEGMENT,
+                                                    PLAIN_SEGMENT,
+                                                    pick_segment)
+    cfg = get_config("yahoo")  # epoch_segment None, log_niter 50
+    assert cfg.epoch_segment is None
+    assert pick_segment(cfg, True, 10_000) == AGGRESSIVE_SEGMENT
+    assert pick_segment(cfg, False, 10_000) == PLAIN_SEGMENT
+    assert pick_segment(cfg, False, 7) == 7        # never exceeds the epoch
+    assert pick_segment(cfg.replace(epoch_segment=40), False, 10_000) == 40
+    # explicit N is capped by log_niter (exact log cadence)
+    assert pick_segment(cfg.replace(epoch_segment=200), False, 10_000) == 50
+    # 0 = the whole epoch in one dispatch, no cap
+    assert pick_segment(cfg.replace(epoch_segment=0), False, 10_000) == 10_000
+
+
 def test_epoch_fn_loop_unroll_bit_exact(setup):
     """loop_unroll is a pure scheduling knob: the fused plain epoch must be
     BIT-identical at any factor, including one that does not divide the

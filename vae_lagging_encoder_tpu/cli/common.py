@@ -55,7 +55,10 @@ def build_parser(default_dataset: str = "yahoo") -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of one epoch here")
     p.add_argument("--epoch_segment", type=int, default=None,
-                   help="max batches per device dispatch (0 = whole epoch)")
+                   help="max batches per device dispatch; default auto "
+                        "(32 aggressive / 256 plain, watchdog-bounded); "
+                        "explicit N is capped by --log_niter for exact "
+                        "log cadence; 0 = whole epoch")
     p.add_argument("--loop_unroll", type=int, default=None,
                    help="unroll factor for the fused plain-epoch loop "
                         "(bit-exact scheduling knob; measured neutral on "

@@ -95,11 +95,18 @@ class ExperimentConfig:
     # "Measured negative results").
     compute_dtype: str = "float32"
     use_pallas: bool = False         # fused Pallas LSTM recurrent kernel
-    # max batches per device dispatch inside an epoch (0 = whole epoch in
-    # one dispatch). Bounds single-execution runtime — the tunneled TPU
-    # worker watchdog kills multi-minute unattended executions — and gives
-    # reference-style intra-epoch progress.
-    epoch_segment: int = 32
+    # max batches per device dispatch inside an epoch. Bounds
+    # single-execution runtime — the tunneled TPU worker watchdog kills
+    # multi-minute unattended executions — and gives reference-style
+    # intra-epoch progress. None (default) = auto per mode: 32 while
+    # aggressive (each outer step embeds ~10-100 inner burns; ~10.7 s
+    # device time at 32, profile dossier) vs 256 for plain epochs (~2.5-7
+    # ms/step, so 256 stays under 2 s while amortizing the measured
+    # ~85-140 ms/dispatch tunnel overhead — segment probe, RESULTS.md:
+    # seg 32 ran plain epochs at ~75% of whole-epoch throughput).
+    # Explicit N = fixed (capped by log_niter, exact log cadence);
+    # 0 = whole epoch in one dispatch.
+    epoch_segment: int | None = None
     dp_devices: int = 1              # data-parallel shards over the mesh
     # tensor-parallel shards: the decoder's [nh, V] output projection and
     # its CE are vocab-sharded over a second mesh axis (parallel/tp.py,

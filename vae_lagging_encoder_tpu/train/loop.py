@@ -53,6 +53,44 @@ def load_text_datasets(cfg: ExperimentConfig):
     return train, val, test
 
 
+# Auto --epoch_segment defaults (batches per device dispatch). Sized from
+# measurement: an aggressive outer step embeds ~10-100 inner encoder burns
+# (32 outer steps = ~10.7 s device time at flagship shape, profile
+# dossier), while a plain step is 2.5-7 ms — so plain epochs can take
+# 8x longer dispatches and amortize the ~85-140 ms/dispatch tunnel
+# overhead (experiments/segment_probe.py: seg 32 ran plain flagship
+# epochs at ~75% of whole-epoch throughput; RESULTS.md).
+AGGRESSIVE_SEGMENT = 32
+PLAIN_SEGMENT = 256
+# The final IW-NLL suite is ~50x a train step per batch; its reducer keeps
+# the aggressive-sized bound when --epoch_segment is auto (a whole-pool
+# IW dispatch over a 5k-sentence eval set measured ~86 s — killed by the
+# tunnel watchdog; make_pool_reducer note).
+EVAL_SEGMENT = 32
+
+
+def pick_segment(cfg: ExperimentConfig, aggressive: bool,
+                 num_batches: int) -> int:
+    """Batches per device dispatch for one training epoch.
+
+    Explicit ``--epoch_segment`` keeps exact legacy semantics: N = fixed,
+    capped by ``log_niter`` so a log boundary exists at least every
+    log_niter steps (the fused-epoch equivalent of the reference's
+    per-step check); 0 = the whole epoch in one dispatch (no cap). The
+    ``None`` default picks per mode — AGGRESSIVE_SEGMENT vs PLAIN_SEGMENT
+    — trading the reference's exact 50-step log cadence for ~25% plain
+    throughput (logs then flow every PLAIN_SEGMENT steps; set
+    ``--epoch_segment 50`` to restore the old cadence exactly)."""
+    if cfg.epoch_segment is None:
+        seg = AGGRESSIVE_SEGMENT if aggressive else PLAIN_SEGMENT
+        return min(seg, num_batches)
+    seg = cfg.epoch_segment or num_batches
+    seg = min(seg, num_batches)
+    if cfg.epoch_segment and cfg.log_niter:
+        seg = min(seg, cfg.log_niter)
+    return seg
+
+
 def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
                  test_pool, log: Logger, loss_fn: Callable | None = None,
                  eval_loss_fn: Callable | None = None,
@@ -222,15 +260,6 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
     log.info(f"[train] {cfg.epochs} epochs, {train_pool.num_batches} "
              f"batches/epoch, aggressive={aggressive}")
 
-    # Epoch segmentation: fixed-size order chunks, each one device dispatch
-    # (bounded runtime; one extra compile for the remainder size).
-    seg = cfg.epoch_segment or train_pool.num_batches
-    seg = min(seg, train_pool.num_batches)
-    # log_niter can't be honored mid-dispatch (the segment IS the dispatch),
-    # so cap the segment so a log boundary exists at least every log_niter
-    # steps — the fused-epoch equivalent of the reference's per-step check.
-    if cfg.log_niter:
-        seg = min(seg, cfg.log_niter)
     global_step = start_epoch * train_pool.num_batches
     report = tuple(0.0 for _ in range(5))
     steps_since_log = 0
@@ -244,6 +273,11 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
 
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
+        # Epoch segmentation: fixed-size order chunks, each one device
+        # dispatch (bounded runtime; one extra compile for the remainder
+        # size). Recomputed per epoch: the auto default depends on the
+        # aggressive flag, which the MI plateau flips off permanently.
+        seg = pick_segment(cfg, aggressive, train_pool.num_batches)
         order = rng.permutation(train_pool.num_batches).astype(np.int32)
         k_epoch = jax.random.fold_in(master_key, epoch)
         # SURVEY.md §5 tracing row: optional jax.profiler capture of the
@@ -464,10 +498,13 @@ def run_final_eval(cfg: ExperimentConfig, vae, params, pool, log: Logger,
         params, jax.random.fold_in(key, 2))
     # the IW reduction is segmented on the single-device path: at large
     # eval sets one whole-pool dispatch exceeds the tunnel worker's
-    # unattended-kill horizon (make_pool_reducer note)
+    # unattended-kill horizon (make_pool_reducer note). Auto keeps the
+    # small EVAL_SEGMENT bound (IW-500 is ~50x a train step per batch);
+    # an explicit --epoch_segment carries over, 0 = unsegmented.
+    iw_seg = (EVAL_SEGMENT if cfg.epoch_segment is None
+              else cfg.epoch_segment or None)
     iw = make_iwnll_fn(vae, pool, nsamples=cfg.iw_nsamples, ns=cfg.iw_batch,
-                       prep=prep, mesh=mesh,
-                       segment=cfg.epoch_segment or None)(
+                       prep=prep, mesh=mesh, segment=iw_seg)(
                            params, jax.random.fold_in(key, 3))
     results = {
         "elbo_loss": float(elbo["loss"]), "rec": float(elbo["rec"]),
