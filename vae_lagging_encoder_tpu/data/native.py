@@ -65,10 +65,20 @@ def _load():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.isfile(_SO) and not build():
-        return None
+    # A pip-installed tree ships the library as an ABI-suffixed extension
+    # (setup.py builds Extension "...data._textproc" — loaded via ctypes, so
+    # the missing PyInit symbol is irrelevant); a source checkout builds the
+    # plain-named .so lazily next to this file.
+    import glob
+    cands = [p for p in (_SO, *sorted(glob.glob(
+        os.path.join(os.path.dirname(__file__), "_textproc*.so"))))
+        if os.path.isfile(p)]
+    if not cands:
+        if not build():
+            return None
+        cands = [_SO]
     try:
-        lib = ctypes.CDLL(_SO)
+        lib = ctypes.CDLL(cands[0])
     except OSError:
         return None
     lib.tp_count_vocab.argtypes = [ctypes.c_char_p, ctypes.c_int,
