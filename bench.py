@@ -2,7 +2,9 @@
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N,
-     "aggressive_steps_per_sec": N, "aggressive_inner_steps": N}
+     "aggressive_steps_per_sec": N, "aggressive_inner_steps": N,
+     "beam_decode_sents_per_sec": N, "image_train_steps_per_sec": N,
+     "mfu": N}
 
 What's measured:
 - headline (``value``): plain-VAE (no inner loop) training steps/sec on
@@ -198,6 +200,42 @@ def _run(use_pallas: bool) -> None:
         _, _, _, inner = run_aggr_epoch(p2, s2, jnp.float32(0.1), 101)
         aggr_sps = max(aggr_sps, (pool.num_batches + inner) / (time.time() - t0))
 
+    # --- image path (OmniGlot config: ResNet encoder + PixelCNN decoder,
+    # in-graph dynamic binarization, Adam) through the same fused-epoch
+    # program the image CLI drives. Throughput depends only on shapes, so
+    # random pixel probabilities stand in for the corpus (the binarization
+    # draw runs either way). First driver-recorded image number (r2/r3
+    # hand-measured it at ~259 steps/s but never emitted it).
+    from vae_lagging_encoder_tpu.data.pool import ImagePool
+    from vae_lagging_encoder_tpu.models import build_image_vae
+    from vae_lagging_encoder_tpu.train.epoch import make_image_loss_fn
+
+    icfg = get_config("omniglot", use_pallas=use_pallas)
+    imgs = np.random.RandomState(3).rand(
+        2000, *icfg.img_size).astype(np.float32)
+    ipool = ImagePool(imgs, icfg.batch_size)
+    ivae = build_image_vae(icfg)
+    iparams = ivae.init(jax.random.PRNGKey(icfg.seed))
+    iepoch, iopt_init = make_train_epoch(
+        ivae, ipool, icfg, loss_fn=make_image_loss_fn(ivae, train=True))
+    iopt = iopt_init(iparams)
+    iorder = jnp.arange(ipool.num_batches, dtype=jnp.int32)
+
+    def run_image_epoch(iparams, iopt, seed):
+        iparams, iopt, _, isums, _ = iepoch(
+            iparams, iopt, jax.random.PRNGKey(seed), jnp.float32(1.0),
+            jnp.float32(icfg.lr), iorder, aggressive=False)
+        np.asarray(isums)  # real host pull (same tunnel trap as above)
+        return iparams, iopt
+
+    iparams, iopt = run_image_epoch(iparams, iopt, 0)  # compile
+    img_sps = 0.0
+    for w in range(2):
+        t0 = time.time()
+        for e in range(3):
+            iparams, iopt = run_image_epoch(iparams, iopt, 3 * w + e + 1)
+        img_sps = max(img_sps, 3 * ipool.num_batches / (time.time() - t0))
+
     # --- serving path: batched on-device beam search (round-3 capability;
     # the reference's host loop decodes the same 32 rows in ~17 min).
     # Timed best-of-two with distinct z per call: the tunnel worker caches
@@ -223,6 +261,7 @@ def _run(use_pallas: bool) -> None:
         "aggressive_steps_per_sec": round(aggr_sps, 2),
         "aggressive_inner_steps": inner,
         "beam_decode_sents_per_sec": round(beam_sps, 1),
+        "image_train_steps_per_sec": round(img_sps, 2),
         # model-FLOPs utilization of the headline: analytic FLOPs/step
         # (BASELINE.md accounting) x steps/s over the v5e bf16 peak
         "mfu": round(sps * flops_per_step / V5E_PEAK_FLOPS, 4),
