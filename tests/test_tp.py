@@ -283,6 +283,41 @@ def test_cli_tp_end_to_end_matches_dp(tmp_path):
     assert os.path.exists(str(tmp_path / "model_tp.ckpt"))
 
 
+def test_cli_eval_only_tp_devices_folds_into_dp(tmp_path):
+    """`--eval --tp_devices N` must not silently run the suite on one
+    device (code-review r4): the final-suite reducers are dense over the
+    vocab axis, so the tp chips fold into the batch-parallel axis. The
+    per-batch math is unchanged — results match the single-device eval up
+    to the closing psum's summation order."""
+    from tests.test_train import tiny_cfg
+    from vae_lagging_encoder_tpu.data.synthetic import generate_synthetic_corpus
+    from vae_lagging_encoder_tpu.train import train_text
+
+    root = tmp_path / "data"
+    root.mkdir()
+    sents, topics = generate_synthetic_corpus(num_sentences=140, vocab_size=30,
+                                              min_len=4, max_len=20, seed=4)
+    for split, sl in {"train": slice(0, 100), "valid": slice(100, 120),
+                      "test": slice(120, 140)}.items():
+        with open(root / f"{split}.txt", "w") as fh:
+            for t, s in zip(topics[sl], sents[sl]):
+                fh.write(f"{t}\t" + " ".join(s) + "\n")
+
+    paths = dict(train_data=str(root / "train.txt"),
+                 val_data=str(root / "valid.txt"),
+                 test_data=str(root / "test.txt"))
+    ckpt = str(tmp_path / "model.ckpt")
+    train_text(tiny_cfg(epochs=1, aggressive=False, decay_epoch=5,
+                        save_path=ckpt, **paths))
+
+    r1 = train_text(tiny_cfg(eval=True, load_path=ckpt, **paths))
+    r2 = train_text(tiny_cfg(eval=True, load_path=ckpt, dp_devices=2,
+                             tp_devices=2, **paths))
+    for k in ("elbo_loss", "rec", "kl", "mi", "iw_nll", "iw_ppl"):
+        assert r2[k] == pytest.approx(r1[k], rel=1e-5), k
+    assert r2["au"] == r1["au"]
+
+
 def test_tp_image_model_rejected(tmp_path):
     """--tp_devices shards the TEXT output projection; the image path must
     refuse it up front rather than fail inside shard_map."""

@@ -114,6 +114,12 @@ def test_pick_segment_auto_and_explicit():
     assert pick_segment(cfg.replace(epoch_segment=200), False, 10_000) == 50
     # 0 = the whole epoch in one dispatch, no cap
     assert pick_segment(cfg.replace(epoch_segment=0), False, 10_000) == 10_000
+    # auto honors the user's --autosave_niter crash-loss window (autosaves
+    # can only fire at segment boundaries; code-review r4)
+    assert pick_segment(cfg.replace(autosave_niter=50), False, 10_000) == 50
+    assert pick_segment(cfg.replace(autosave_niter=50), True, 10_000) == 32
+    assert pick_segment(cfg.replace(autosave_niter=500), False, 10_000) \
+        == PLAIN_SEGMENT
 
 
 def test_epoch_fn_loop_unroll_bit_exact(setup):

@@ -22,6 +22,6 @@ Reference parity citations use the convention ``<ref>file.py §Component``
 SURVEY.md's evidence caveat.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"  # kept in sync with pyproject.toml
 
 DEFAULT_SEED = 783435  # <ref>text.py §init_config default --seed

@@ -77,9 +77,14 @@ def _load():
         if not build():
             return None
         cands = [_SO]
-    try:
-        lib = ctypes.CDLL(cands[0])
-    except OSError:
+    lib = None
+    for cand in cands:  # e.g. a stale plain .so next to a valid ABI one
+        try:
+            lib = ctypes.CDLL(cand)
+            break
+        except OSError:
+            continue
+    if lib is None:
         return None
     lib.tp_count_vocab.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                    ctypes.POINTER(_TpVocabCounts)]

@@ -80,10 +80,16 @@ def pick_segment(cfg: ExperimentConfig, aggressive: bool,
     ``None`` default picks per mode — AGGRESSIVE_SEGMENT vs PLAIN_SEGMENT
     — trading the reference's exact 50-step log cadence for ~25% plain
     throughput (logs then flow every PLAIN_SEGMENT steps; set
-    ``--epoch_segment 50`` to restore the old cadence exactly)."""
+    ``--epoch_segment 50`` to restore the old cadence exactly). Auto is
+    still capped by ``--autosave_niter``: autosaves fire only at segment
+    boundaries, so the user's crash-loss window wins over throughput."""
     if cfg.epoch_segment is None:
         seg = AGGRESSIVE_SEGMENT if aggressive else PLAIN_SEGMENT
-        return min(seg, num_batches)
+        if cfg.autosave_niter:
+            # autosaves fire only at segment boundaries: honor the user's
+            # requested crash-loss window even under the wider auto segment
+            seg = min(seg, cfg.autosave_niter)
+        return max(1, min(seg, num_batches))
     seg = cfg.epoch_segment or num_batches
     seg = min(seg, num_batches)
     if cfg.epoch_segment and cfg.log_niter:
@@ -369,6 +375,14 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
                 log.info(f"[stop] after {segments_run} segments (test hook)")
                 return {"interrupted": True, "autosave_path": autosave_path,
                         "autosave_taken": os.path.exists(autosave_path)}
+        # a mid-epoch-resumed epoch only ran the post-autosave tail in THIS
+        # process: count only those steps, or steps/s (and the dossier's
+        # per-step division) would divide the full epoch's counters by the
+        # tail's wall time (code-review r3/r4)
+        ran = train_pool.num_batches + int(inner_iters)
+        if resume_mid and epoch == start_epoch:
+            ran = (train_pool.num_batches - int(resume_mid["next_start"])
+                   + int(inner_iters) - int(resume_mid["inner_iters"]))
         if profiling:
             # drain through a host pull — block_until_ready returns early
             # on the tunneled axon platform (verify SKILL.md trap #2)
@@ -383,7 +397,7 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
             dossier_path = os.path.join(cfg.profile_dir, "DOSSIER.md")
             summary = write_dossier(
                 cfg.profile_dir,
-                steps=train_pool.num_batches + int(inner_iters),
+                steps=ran,
                 out_path=dossier_path,
                 title=f"Epoch-{epoch} profiler dossier ({cfg.dataset})")
             if summary is None:
@@ -399,13 +413,6 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
         kl_weight = float(kl_w_new)
         loss_s, rec_s, kl_s, n_sent, n_words = sums
         dt = time.time() - t0
-        # a mid-epoch-resumed epoch only ran the post-autosave tail in THIS
-        # process: count only those steps, or steps/s would divide the full
-        # epoch's counters by the tail's wall time (code-review r3)
-        ran = train_pool.num_batches + int(inner_iters)
-        if resume_mid and epoch == start_epoch:
-            ran = (train_pool.num_batches - int(resume_mid["next_start"])
-                   + int(inner_iters) - int(resume_mid["inner_iters"]))
         log.info(f"epoch {epoch}: loss {loss_s / n_sent:.4f} "
                  f"rec {rec_s / n_sent:.4f} kl {kl_s / n_sent:.4f} "
                  f"kl_weight {kl_weight:.4f} inner_iters {int(inner_iters)} "
@@ -487,9 +494,18 @@ def run_final_eval(cfg: ExperimentConfig, vae, params, pool, log: Logger,
     calc_au(), calc_iwnll() (SURVEY.md §3.3). With ``mesh`` (or
     cfg.dp_devices > 1) every estimator is batch-parallel over the mesh.
     """
-    if mesh is None and cfg.dp_devices > 1:
+    if mesh is None and cfg.dp_devices * cfg.tp_devices > 1:
+        # The final-suite reducers are batch-parallel programs (the vocab
+        # axis is never sharded at eval — training's TP val path gathers to
+        # dense first, see run_training), so a standalone `--eval
+        # --tp_devices N` folds the tp chips into the dp axis instead of
+        # silently ignoring them (code-review r4).
         from ..parallel import make_mesh
-        mesh = make_mesh(cfg.dp_devices)
+        mesh = make_mesh(cfg.dp_devices * cfg.tp_devices)
+        if cfg.tp_devices > 1:
+            log.info(f"[parallel] eval-only run: folding --tp_devices "
+                     f"{cfg.tp_devices} into the batch-parallel axis "
+                     f"(final-suite reducers are dense over vocab)")
     key = jax.random.PRNGKey(cfg.seed + 1)
     elbo = make_eval_fn(vae, pool, loss_fn=eval_loss_fn, mesh=mesh)(params, key)
     mi = make_mi_fn(vae, pool, prep=prep, mesh=mesh)(
