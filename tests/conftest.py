@@ -23,6 +23,14 @@ jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()
 
+# Persistent compilation cache: the suite's wall time is dominated by CPU
+# jit compiles; executables are keyed by HLO + jax version, so edited code
+# recompiles automatically and repeat runs skip the rest. Gitignored.
+_cache = os.path.join(os.path.dirname(__file__), ".xla_cache")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
