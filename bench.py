@@ -108,8 +108,21 @@ def main() -> None:
 
 
 def _run(use_pallas: bool) -> None:
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # persistent compile cache (keyed by HLO + jax version — can never
+    # serve stale code): repeat bench runs skip their ~2 min of compiles.
+    # Timing is unaffected either way (the warmup epoch absorbs compiles).
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tests", ".xla_cache")
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+    except Exception:  # noqa: BLE001 — best-effort accelerator
+        pass
 
     from vae_lagging_encoder_tpu.config import get_config
     from vae_lagging_encoder_tpu.data import BucketedPool, MonoTextData
