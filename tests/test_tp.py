@@ -283,12 +283,65 @@ def test_cli_tp_end_to_end_matches_dp(tmp_path):
     assert os.path.exists(str(tmp_path / "model_tp.ckpt"))
 
 
-def test_cli_eval_only_tp_devices_folds_into_dp(tmp_path):
-    """`--eval --tp_devices N` must not silently run the suite on one
-    device (code-review r4): the final-suite reducers are dense over the
-    vocab axis, so the tp chips fold into the batch-parallel axis. The
-    per-batch math is unchanged — results match the single-device eval up
-    to the closing psum's summation order."""
+def test_tp_eval_reducers_match_dense():
+    """VERDICT r4 weak #4's done-criterion: the vocab-sharded eval
+    reducers (ELBO via make_tp_loss_fn, IW-NLL via tp_nll_iw, MI/AU with
+    sharded param layout) equal the dense single-device suite at <=1e-5 —
+    same per-batch fold_in keys, so the only numeric difference is the
+    distributed logsumexp's reassociation across vocab shards."""
+    from vae_lagging_encoder_tpu.parallel import shard_tree
+    from vae_lagging_encoder_tpu.train.epoch import (make_au_fn, make_eval_fn,
+                                                     make_iwnll_fn, make_mi_fn)
+
+    vae, params, tokens, mask, rw = _setup(dropout=0.0, seed=8)
+    # a couple of SGD steps so KL/MI/AU are non-trivial at eval
+    loss_fn = make_loss_fn(vae, nsamples=1, train=True)
+    for i in range(3):
+        (_, _), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, jax.random.fold_in(jax.random.PRNGKey(4), i),
+                              (tokens, mask, rw), 1.0), has_aux=True)(params)
+        grads, _ = clip_by_global_norm(grads, 5.0)
+        params, _ = sgd_update(params, grads, 0.5)
+
+    from vae_lagging_encoder_tpu.data.pool import BucketedPool
+    from vae_lagging_encoder_tpu.data.text import TextBatch
+    pool = BucketedPool([TextBatch(tokens=np.asarray(tokens),
+                                   mask=np.asarray(mask),
+                                   row_weight=np.asarray(rw))])
+    key = jax.random.PRNGKey(13)
+
+    dense = {
+        "ev": make_eval_fn(vae, pool)(params, key),
+        "iw": make_iwnll_fn(vae, pool, nsamples=30, ns=10)(
+            params, jax.random.fold_in(key, 1)),
+        "mi": make_mi_fn(vae, pool)(params, jax.random.fold_in(key, 2)),
+        "au": make_au_fn(vae, pool)(params, jax.random.fold_in(key, 3))[0],
+    }
+    mesh = make_tp_mesh(2, 4)
+    sp = shard_tree(mesh, params)
+    tp = {
+        "ev": make_eval_fn(vae, pool, mesh=mesh, tp_axis="tp")(sp, key),
+        "iw": make_iwnll_fn(vae, pool, nsamples=30, ns=10, mesh=mesh,
+                            tp_axis="tp")(sp, jax.random.fold_in(key, 1)),
+        "mi": make_mi_fn(vae, pool, mesh=mesh, tp_axis="tp")(
+            sp, jax.random.fold_in(key, 2)),
+        "au": make_au_fn(vae, pool, mesh=mesh, tp_axis="tp")(
+            sp, jax.random.fold_in(key, 3))[0],
+    }
+    for k in dense["ev"]:
+        assert tp["ev"][k] == pytest.approx(dense["ev"][k], rel=1e-5), k
+    for k in dense["iw"]:
+        assert tp["iw"][k] == pytest.approx(dense["iw"][k], rel=1e-5), k
+    assert tp["mi"] == pytest.approx(dense["mi"], rel=1e-5)
+    assert tp["au"] == dense["au"]
+
+
+def test_cli_eval_only_tp_devices_uses_vocab_sharding(tmp_path):
+    """`--eval --tp_devices N` builds a real (dp, tp) mesh with the
+    vocab-sharded estimators (r5; previously it folded tp into the batch
+    axis because eval was dense over vocab). Results must match the
+    single-device eval at <=1e-5 — the per-batch fold_in keys are
+    identical; only the distributed logsumexp reassociates."""
     from tests.test_train import tiny_cfg
     from vae_lagging_encoder_tpu.data.synthetic import generate_synthetic_corpus
     from vae_lagging_encoder_tpu.train import train_text

@@ -24,6 +24,9 @@ def build_parser(default_dataset: str = "yahoo") -> argparse.ArgumentParser:
     p.add_argument("--warm_up", type=int, default=None)
     p.add_argument("--nsamples", type=int, default=None)
     p.add_argument("--iw_nsamples", type=int, default=None)
+    p.add_argument("--iw_batch", type=int, default=None,
+                   help="IW estimator chunk size (ns in <ref>vae.nll_iw); "
+                        "iw_nsamples must divide by it")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--eval", action="store_true")
     p.add_argument("--load_path", type=str, default=None)

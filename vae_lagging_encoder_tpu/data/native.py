@@ -68,35 +68,40 @@ def _load():
     # A pip-installed tree ships the library as an ABI-suffixed extension
     # (setup.py builds Extension "...data._textproc" — loaded via ctypes, so
     # the missing PyInit symbol is irrelevant); a source checkout builds the
-    # plain-named .so lazily next to this file.
+    # plain-named .so lazily next to this file. Candidates are tried
+    # NEWEST-mtime first so a stale-but-loadable plain .so cannot shadow a
+    # freshly built pip extension (ADVICE r4).
     import glob
-    cands = [p for p in (_SO, *sorted(glob.glob(
-        os.path.join(os.path.dirname(__file__), "_textproc*.so"))))
-        if os.path.isfile(p)]
+    cands = sorted(
+        {p for p in (_SO, *glob.glob(
+            os.path.join(os.path.dirname(__file__), "_textproc*.so")))
+         if os.path.isfile(p)},
+        key=os.path.getmtime, reverse=True)
     if not cands:
         if not build():
             return None
         cands = [_SO]
-    lib = None
     for cand in cands:  # e.g. a stale plain .so next to a valid ABI one
         try:
             lib = ctypes.CDLL(cand)
-            break
-        except OSError:
+            # bind symbols HERE: a loadable library missing a newer symbol
+            # (stale build) must degrade to the next candidate / pure
+            # Python, not crash the host pipeline (ADVICE r4)
+            lib.tp_count_vocab.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                           ctypes.POINTER(_TpVocabCounts)]
+            lib.tp_count_vocab.restype = ctypes.c_int
+            lib.tp_encode_corpus.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p,
+                ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+                ctypes.POINTER(_TpEncoded)]
+            lib.tp_encode_corpus.restype = ctypes.c_int
+            lib.tp_free_counts.argtypes = [ctypes.POINTER(_TpVocabCounts)]
+            lib.tp_free_encoded.argtypes = [ctypes.POINTER(_TpEncoded)]
+            _lib = lib
+            return _lib
+        except (OSError, AttributeError):
             continue
-    if lib is None:
-        return None
-    lib.tp_count_vocab.argtypes = [ctypes.c_char_p, ctypes.c_int,
-                                   ctypes.POINTER(_TpVocabCounts)]
-    lib.tp_count_vocab.restype = ctypes.c_int
-    lib.tp_encode_corpus.argtypes = [
-        ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int64,
-        ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(_TpEncoded)]
-    lib.tp_encode_corpus.restype = ctypes.c_int
-    lib.tp_free_counts.argtypes = [ctypes.POINTER(_TpVocabCounts)]
-    lib.tp_free_encoded.argtypes = [ctypes.POINTER(_TpEncoded)]
-    _lib = lib
-    return _lib
+    return None
 
 
 def available() -> bool:

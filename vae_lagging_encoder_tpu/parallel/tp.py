@@ -197,6 +197,76 @@ def _tp_loss(vae, params, key, tokens, mask, row_weight, kl_weight,
     return loss.sum(), (loss.sum(), rec.sum(), kl.sum(), n_sents, n_words)
 
 
+def tp_reconstruct_error(dec, params_dec, tokens, mask, z,
+                         axis: str = "tp") -> jnp.ndarray:
+    """-log p(x|z) per (sentence, z-sample) [B, K] with the vocab sharded
+    over ``axis`` — the eval-mode (no-dropout) mirror of
+    ``LSTMDecoder.reconstruct_error`` with its output stage replaced by
+    ``tp_token_logp``: each tp member computes logits only for its vocab
+    shard and the per-token logsumexp is assembled distributed, so the
+    FLOPs-heaviest stage of evaluation (IW-NLL's [N, V] projections,
+    <ref>vae.py §nll_iw) scales over the tp mesh instead of being
+    replicated. Matches the dense path to fp tolerance (the logsumexp is
+    reassociated across shards); z-sample chunking mirrors ``iw_chunk``.
+    """
+    B, T = tokens.shape
+    K = z.shape[1]
+
+    def rec_chunk(z_chunk):  # [B, k, nz] -> [B, k]
+        k = z_chunk.shape[1]
+        outs = dec._hidden_states(params_dec, tokens[:, :-1], z_chunk,
+                                  None, False)          # [k*B, T-1, nh]
+        tgt = jnp.broadcast_to(tokens[None, :, 1:], (k, B, T - 1)).reshape(-1)
+        logp = tp_token_logp(
+            outs.reshape(-1, dec.nh).astype(dec.compute_dtype),
+            params_dec["pred"].astype(dec.compute_dtype), tgt,
+            dec.vocab_size, axis)
+        tok_lp = logp.reshape(k, B, T - 1).transpose(1, 0, 2)
+        return -jnp.sum(tok_lp * mask[:, None, 1:], axis=-1)
+
+    if K <= dec.iw_chunk:
+        return rec_chunk(z)
+    n_chunks = -(-K // dec.iw_chunk)
+    K_pad = n_chunks * dec.iw_chunk
+    if K_pad != K:
+        z = jnp.concatenate(
+            [z, jnp.zeros((B, K_pad - K, dec.nz), z.dtype)], axis=1)
+    zc = z.reshape(B, n_chunks, dec.iw_chunk, dec.nz).transpose(1, 0, 2, 3)
+    out = jax.lax.map(jax.checkpoint(rec_chunk), zc)    # [n_chunks, B, c]
+    return out.transpose(1, 0, 2).reshape(B, K_pad)[:, :K]
+
+
+def tp_nll_iw(vae, params, key, x, mask=None, nsamples: int = 500,
+              ns: int = 100, axis: str = "tp") -> jnp.ndarray:
+    """Vocab-sharded importance-weighted NLL per sentence [B] — the tp
+    twin of ``VAE.nll_iw`` (<ref>vae.py §nll_iw): identical fold_in key
+    structure (so the z draws match the dense estimator sample-for-sample;
+    the encoder runs replicated across tp), with the decoder likelihood
+    computed by ``tp_reconstruct_error``. Must run under a shard_map
+    carrying ``axis``."""
+    import math as _math
+
+    from ..models.encoder import eval_inference_dist as _eid
+
+    ns = min(ns, nsamples)
+    assert nsamples % ns == 0, (nsamples, ns)
+    n_chunks = nsamples // ns
+
+    def chunk_log_w(i):
+        k_i = jax.random.fold_in(key, i)
+        z, (mu, logvar) = vae.encoder.sample(params["enc"], k_i, x, mask, ns)
+        log_pxz = -tp_reconstruct_error(vae.decoder, params["dec"], x, mask,
+                                        z, axis)
+        return vae.eval_prior_dist(z) + log_pxz - _eid(z, mu, logvar)
+
+    if n_chunks == 1:
+        log_w = chunk_log_w(0)
+    else:
+        stacked = jax.lax.map(chunk_log_w, jnp.arange(n_chunks))
+        log_w = jnp.moveaxis(stacked, 0, 1).reshape(x.shape[0], nsamples)
+    return -(jax.nn.logsumexp(log_w, axis=1) - _math.log(nsamples))
+
+
 def make_tp_loss_fn(vae, nsamples: int = 1, train: bool = True) -> Callable:
     """``train/epoch.py make_loss_fn``-contract adapter over ``_tp_loss``:
     (params, key, (tokens, mask, row_weight), kl_weight) -> (mean_loss,
@@ -211,6 +281,22 @@ def make_tp_loss_fn(vae, nsamples: int = 1, train: bool = True) -> Callable:
                                  kl_weight, nsamples, train)
         return loss_sum / jnp.maximum(aux[3], 1.0), aux
     return loss_fn
+
+
+def clip_scale_tp(grads, max_norm: float, axis: str = "tp"):
+    """Scalar form of ``clip_tp`` (mirrors ``optim.clip_scale``): returns
+    ``(scale, norm, finite)`` with ``dec.pred``'s sum-of-squares psum'd over
+    ``axis``, for folding the clip into the optimizer update without
+    materializing a scaled pytree."""
+    pred = grads["dec"]["pred"]
+    rest = {**grads, "dec": {k: v for k, v in grads["dec"].items()
+                             if k != "pred"}}
+    sumsq = sum(jnp.sum(jnp.square(g)) for g in jax.tree.leaves(rest))
+    sumsq = sumsq + jax.lax.psum(jnp.sum(jnp.square(pred)), axis)
+    norm = jnp.sqrt(sumsq)
+    finite = jnp.isfinite(norm)
+    scale = jnp.where(finite, jnp.minimum(1.0, max_norm / (norm + 1e-6)), 0.0)
+    return scale, norm, finite
 
 
 def clip_tp(grads, max_norm: float, axis: str = "tp"):

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..data.pool import BucketedPool
-from .optim import clip_by_global_norm, sgd_update
+from .optim import clip_scale, sgd_update
 
 
 class InnerCarry(NamedTuple):
@@ -80,24 +80,26 @@ def make_aggressive_inner(loss_fn: Callable, pool: BucketedPool,
                           clip_grad: float, burn_max_iters: int,
                           burn_window: int, opt_update: Callable = None,
                           axis: str | None = None,
-                          clip_fn: Callable = clip_by_global_norm):
+                          scale_fn: Callable = clip_scale):
     """Build ``inner(params, opt_state, key, kl_weight, lr, arrays=None) ->
     (params, opt_state, sub_iters)``.
 
     ``loss_fn(params, key, batch_tuple, kl_weight)`` must return
     ``(mean_loss, (loss_sum, rec_sum, kl_sum, n_sents, n_words))`` — the same
     contract used by the outer step, so forward/backward code is shared.
-    ``opt_update(params, grads, state, lr)`` defaults to plain SGD.
-    Under DP (``axis`` set) the psum'd plateau statistics are identical on
-    every shard, so the while_loop condition stays replicated.
-    ``clip_fn`` defaults to the dense global-norm clip; under vocab TP the
-    caller passes ``parallel.tp.clip_tp`` so the norm psums the sharded
-    pred gradient's sum-of-squares over the tp axis.
+    ``opt_update(params, grads, state, lr, scale=..., finite=...)``
+    defaults to plain SGD. Under DP (``axis`` set) the psum'd plateau
+    statistics are identical on every shard, so the while_loop condition
+    stays replicated. ``scale_fn`` defaults to the dense ``clip_scale``
+    (the scalar form of the global-norm clip, folded into the update so no
+    scaled-grads pytree is materialized); under vocab TP the caller passes
+    ``parallel.tp.clip_scale_tp`` so the norm psums the sharded pred
+    gradient's sum-of-squares over the tp axis.
     """
     grad_fn = make_grad_on(loss_fn, axis)
     if opt_update is None:
-        def opt_update(p, g, s, lr):
-            p, _ = sgd_update(p, g, lr)
+        def opt_update(p, g, s, lr, scale=None, finite=None):
+            p, _ = sgd_update(p, g, lr, scale=scale, finite=finite)
             return p, s
 
     def inner(params, opt_state, key, kl_weight, lr, arrays=None):
@@ -113,10 +115,12 @@ def make_aggressive_inner(loss_fn: Callable, pool: BucketedPool,
 
             grads, (loss_sum, _, _, _, n_words) = pool.switch(
                 bucket, idx, grad_on, arrays=arrays)
-            # clip over the FULL tree, apply to the encoder only
-            grads, _ = clip_fn(grads, clip_grad)
+            # clip over the FULL tree, apply to the encoder only — as a
+            # scalar scale folded into the update (one pass per leaf)
+            scale, _, finite = scale_fn(grads, clip_grad)
             enc_new, enc_opt = opt_update(c.params["enc"], grads["enc"],
-                                          c.opt_state["enc"], lr)
+                                          c.opt_state["enc"], lr,
+                                          scale=scale, finite=finite)
             params = dict(c.params, enc=enc_new)
             opt_state = dict(c.opt_state, enc=enc_opt)
 

