@@ -24,8 +24,25 @@ WHEEL="$(ls "$WORK"/dist/*.whl)"
 echo "wheel: $WHEEL"
 
 echo "== fresh venv =="
-python -m venv --system-site-packages "$WORK/venv"
+python -m venv "$WORK/venv"
+# the deps (jax/numpy) are baked into the HOST environment, which is
+# itself a venv — --system-site-packages would skip it. Link the host's
+# site-packages via a .pth so the fresh venv resolves the baked-in deps
+# (offline box; nothing is fetchable) while the wheel under test is the
+# only copy of THIS package.
+HOST_SITE="$(python -c 'import numpy, os; print(os.path.dirname(os.path.dirname(numpy.__file__)))')"
+VENV_SITE="$("$WORK/venv/bin/python" -c 'import site; print(site.getsitepackages()[0])')"
+echo "$HOST_SITE" > "$VENV_SITE/_host_deps.pth"
 "$WORK/venv/bin/pip" install --no-deps --no-index -q "$WHEEL"
+# the import must resolve to the WHEEL's copy inside the fresh venv,
+# not a checkout leaking in via cwd/path (run from a neutral cwd — for
+# stdin scripts sys.path[0] is the cwd, and the repo checkout would win)
+cd "$WORK"
+VENV_SITE="$VENV_SITE" "$WORK/venv/bin/python" - <<'EOF'
+import os
+import vae_lagging_encoder_tpu as m
+assert m.__file__.startswith(os.environ["VENV_SITE"]), m.__file__
+EOF
 
 echo "== drive console scripts from a foreign cwd =="
 mkdir -p "$WORK/run"

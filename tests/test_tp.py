@@ -310,9 +310,12 @@ def test_tp_eval_reducers_match_dense():
                                    row_weight=np.asarray(rw))])
     key = jax.random.PRNGKey(13)
 
+    # nsamples=50/ns=25: two fold_in chunks AND ns > iw_chunk (10 on the
+    # scan backend), so tp_reconstruct_error's z-chunked lax.map path (with
+    # padding: 25 = 2x10 + 5) runs — the same chunking the dense nll_iw does
     dense = {
         "ev": make_eval_fn(vae, pool)(params, key),
-        "iw": make_iwnll_fn(vae, pool, nsamples=30, ns=10)(
+        "iw": make_iwnll_fn(vae, pool, nsamples=50, ns=25)(
             params, jax.random.fold_in(key, 1)),
         "mi": make_mi_fn(vae, pool)(params, jax.random.fold_in(key, 2)),
         "au": make_au_fn(vae, pool)(params, jax.random.fold_in(key, 3))[0],
@@ -321,7 +324,7 @@ def test_tp_eval_reducers_match_dense():
     sp = shard_tree(mesh, params)
     tp = {
         "ev": make_eval_fn(vae, pool, mesh=mesh, tp_axis="tp")(sp, key),
-        "iw": make_iwnll_fn(vae, pool, nsamples=30, ns=10, mesh=mesh,
+        "iw": make_iwnll_fn(vae, pool, nsamples=50, ns=25, mesh=mesh,
                             tp_axis="tp")(sp, jax.random.fold_in(key, 1)),
         "mi": make_mi_fn(vae, pool, mesh=mesh, tp_axis="tp")(
             sp, jax.random.fold_in(key, 2)),

@@ -46,6 +46,18 @@ def build_parser(default_dataset: str = "yahoo") -> argparse.ArgumentParser:
     p.add_argument("--label", type=int, default=None)
     p.add_argument("--log_niter", type=int, default=None)
     p.add_argument("--test_nepoch", type=int, default=None)
+    # model dims (<ref>text.py §init_config exposes these too; per-dataset
+    # config supplies the defaults, flags win)
+    p.add_argument("--ni", type=int, default=None,
+                   help="embedding size")
+    p.add_argument("--enc_nh", type=int, default=None,
+                   help="encoder LSTM hidden size")
+    p.add_argument("--dec_nh", type=int, default=None,
+                   help="decoder LSTM hidden size")
+    p.add_argument("--nz", type=int, default=None,
+                   help="latent dimension")
+    p.add_argument("--dec_dropout_in", type=float, default=None)
+    p.add_argument("--dec_dropout_out", type=float, default=None)
     # TPU-first additions -------------------------------------------------
     p.add_argument("--compute_dtype", type=str, default=None,
                    choices=["float32", "bfloat16"])
