@@ -236,6 +236,11 @@ def _run(use_pallas: bool) -> None:
 
         from vae_lagging_encoder_tpu.utils.profiling import distill_trace
 
+        if jax.devices()[0].platform == "cpu":
+            # CPU traces carry no device timeline (distill_trace -> None);
+            # don't burn a whole extra flagship epoch to learn that
+            raise RuntimeError("cpu backend: no device timeline to distill")
+
         troot = tempfile.mkdtemp(prefix="bench_trace_")
         try:
             jax.profiler.start_trace(troot)
@@ -253,6 +258,10 @@ def _run(use_pallas: bool) -> None:
         import sys
         print(f"bench: device-trace capture failed: {type(e).__name__}: "
               f"{str(e)[:160]}", file=sys.stderr)
+        try:  # don't leave a half-open trace recording the rest of the bench
+            jax.profiler.stop_trace()
+        except Exception:  # noqa: BLE001
+            pass
 
     # --- aggressive path (fresh params: the inner loop's plateau length
     # depends on training state; epoch-0-from-init is the reproducible and

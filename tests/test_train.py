@@ -240,6 +240,24 @@ def test_eval_suite(setup):
     assert iw_seg["n_sents"] == iw["n_sents"]
 
 
+def test_iw_batch_divisibility_guard(setup):
+    """--iw_nsamples % --iw_batch is validated BEFORE any device work in
+    BOTH lifecycle entry points: run_training (so a misconfigured run dies
+    at startup, not hours later at the final IW eval) AND run_final_eval
+    (the --eval path would otherwise complete the whole ELBO/MI/AU suite
+    before the IW reducer's bare assert discarded everything)."""
+    from vae_lagging_encoder_tpu.train.loop import (run_final_eval,
+                                                    run_training)
+    from vae_lagging_encoder_tpu.utils.exp_utils import Logger
+
+    cfg, data, pool, vae, params = setup
+    bad = tiny_cfg(iw_nsamples=20, iw_batch=7)
+    with pytest.raises(SystemExit, match="divisible"):
+        run_training(bad, vae, params, pool, pool, pool, Logger())
+    with pytest.raises(SystemExit, match="divisible"):
+        run_final_eval(bad, vae, params, pool, Logger())
+
+
 def test_checkpoint_roundtrip(tmp_path, setup):
     cfg, data, pool, vae, params = setup
     path = str(tmp_path / "ck.pkl")

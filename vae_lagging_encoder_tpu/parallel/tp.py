@@ -51,7 +51,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.dec_lstm import _dropout
-from ..train.optim import sgd_update
+from ..train.optim import scale_from_sumsq, sgd_update
 
 
 def make_tp_mesh(dp: int, tp: int, devices=None) -> Mesh:
@@ -293,10 +293,7 @@ def clip_scale_tp(grads, max_norm: float, axis: str = "tp"):
                              if k != "pred"}}
     sumsq = sum(jnp.sum(jnp.square(g)) for g in jax.tree.leaves(rest))
     sumsq = sumsq + jax.lax.psum(jnp.sum(jnp.square(pred)), axis)
-    norm = jnp.sqrt(sumsq)
-    finite = jnp.isfinite(norm)
-    scale = jnp.where(finite, jnp.minimum(1.0, max_norm / (norm + 1e-6)), 0.0)
-    return scale, norm, finite
+    return scale_from_sumsq(sumsq, max_norm)
 
 
 def clip_tp(grads, max_norm: float, axis: str = "tp"):
@@ -306,17 +303,9 @@ def clip_tp(grads, max_norm: float, axis: str = "tp"):
     (an overflowing batch zeroes the step instead of NaN-poisoning params
     via 0*inf), so tp=1 reproduces the DP step exactly — including on the
     overflow branch."""
-    pred = grads["dec"]["pred"]
-    rest = {**grads, "dec": {k: v for k, v in grads["dec"].items()
-                             if k != "pred"}}
-    sumsq = sum(jnp.sum(jnp.square(g)) for g in jax.tree.leaves(rest))
-    sumsq = sumsq + jax.lax.psum(jnp.sum(jnp.square(pred)), axis)
-    norm = jnp.sqrt(sumsq)
-    scale = jnp.where(jnp.isfinite(norm),
-                      jnp.minimum(1.0, max_norm / (norm + 1e-6)), 0.0)
+    scale, norm, finite = clip_scale_tp(grads, max_norm, axis)
     return jax.tree.map(
-        lambda g: jnp.where(jnp.isfinite(norm), g * scale, 0.0),
-        grads), norm
+        lambda g: jnp.where(finite, g * scale, 0.0), grads), norm
 
 
 def make_tp_train_step(vae, cfg, mesh: Mesh) -> Callable:

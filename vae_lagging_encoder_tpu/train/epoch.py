@@ -557,20 +557,19 @@ def make_iwnll_fn(vae: VAE, pool: BucketedPool, nsamples: int = 500,
     if tp_axis is not None:
         from ..parallel.tp import tp_nll_iw
 
-        def batch_fn(params, key, batch):
-            k_prep, key = jax.random.split(key)
-            x, mask, row_weight = prep(k_prep, batch)
-            nll = tp_nll_iw(vae, params, key, x, mask, nsamples=nsamples,
-                            ns=ns, axis=tp_axis)
-            return ((nll * row_weight).sum(), row_weight.sum(),
-                    _unit_count(x, mask, row_weight))
+        def nll_fn(params, key, x, mask):
+            return tp_nll_iw(vae, params, key, x, mask, nsamples=nsamples,
+                             ns=ns, axis=tp_axis)
     else:
-        def batch_fn(params, key, batch):
-            k_prep, key = jax.random.split(key)
-            x, mask, row_weight = prep(k_prep, batch)
-            nll = vae.nll_iw(params, key, x, mask, nsamples=nsamples, ns=ns)
-            return ((nll * row_weight).sum(), row_weight.sum(),
-                    _unit_count(x, mask, row_weight))
+        def nll_fn(params, key, x, mask):
+            return vae.nll_iw(params, key, x, mask, nsamples=nsamples, ns=ns)
+
+    def batch_fn(params, key, batch):
+        k_prep, key = jax.random.split(key)
+        x, mask, row_weight = prep(k_prep, batch)
+        nll = nll_fn(params, key, x, mask)
+        return ((nll * row_weight).sum(), row_weight.sum(),
+                _unit_count(x, mask, row_weight))
 
     reducer = make_pool_reducer(
         pool, batch_fn, tuple(jnp.float32(0.0) for _ in range(3)), mesh=mesh,

@@ -387,12 +387,18 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
             # ran == 0 when a mid-epoch autosave landed exactly at the epoch
             # end and the resumed epoch executed zero segments — distilling
             # would divide by zero (ADVICE r4)
-            summary = None if ran <= 0 else write_dossier(
-                cfg.profile_dir,
-                steps=ran,
-                out_path=dossier_path,
-                title=f"Epoch-{epoch} profiler dossier ({cfg.dataset})")
-            if summary is None:
+            if ran <= 0:
+                summary = None
+                log.info("[profile] resumed epoch executed zero segments "
+                         "(autosave landed exactly at the epoch boundary) "
+                         "— nothing to distill, dossier skipped")
+            else:
+                summary = write_dossier(
+                    cfg.profile_dir,
+                    steps=ran,
+                    out_path=dossier_path,
+                    title=f"Epoch-{epoch} profiler dossier ({cfg.dataset})")
+            if summary is None and ran > 0:
                 log.info("[profile] no device timeline in the trace (CPU "
                          "backend runs emit none) — dossier skipped")
             else:
@@ -489,6 +495,15 @@ def run_final_eval(cfg: ExperimentConfig, vae, params, pool, log: Logger,
     inside ELBO and IW-NLL (``parallel.tp``), so the suite's FLOPs-heaviest
     path scales over tp instead of replicating (VERDICT r4 weak #4).
     """
+    if cfg.iw_nsamples % cfg.iw_batch:
+        # validate FIRST (same guard as run_training): the IW reducer only
+        # asserts this at its own trace, AFTER the ELBO/MI/AU passes —
+        # failing there would discard hours of completed eval work on a
+        # large test set when `--eval --iw_batch N` doesn't divide
+        raise SystemExit(
+            f"--iw_nsamples {cfg.iw_nsamples} must be divisible by "
+            f"--iw_batch {cfg.iw_batch} (the IW estimator runs in "
+            f"iw_batch-sample chunks)")
     tp_ax = None
     if mesh is not None and dict(mesh.shape).get("tp", 1) > 1:
         tp_ax = "tp"

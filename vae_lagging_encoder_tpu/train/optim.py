@@ -22,6 +22,18 @@ def global_norm(tree) -> jnp.ndarray:
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in jax.tree.leaves(tree)))
 
 
+def scale_from_sumsq(sumsq, max_norm: float):
+    """Shared core of every clip variant (tree/scalar, dense/tp): norm,
+    clip scale, and the non-finite guard from a sum-of-squares. ONE place
+    owns the epsilon, the min, and the overflow branch — the tree and
+    scalar forms (and ``parallel.tp``'s psum'd variants) must stay
+    bit-identical (tests/test_train.py pins it), so they all call this."""
+    norm = jnp.sqrt(sumsq)
+    finite = jnp.isfinite(norm)
+    scale = jnp.where(finite, jnp.minimum(1.0, max_norm / (norm + 1e-6)), 0.0)
+    return scale, norm, finite
+
+
 def clip_by_global_norm(tree, max_norm: float):
     """<ref>torch.nn.utils.clip_grad_norm_(vae.parameters(), 5.0) equivalent —
     the norm is over the FULL (enc+dec) gradient tree.
@@ -30,10 +42,8 @@ def clip_by_global_norm(tree, max_norm: float):
     (overflow on one unlucky batch) zeroes the step instead of poisoning the
     parameters — ``0 * inf`` would otherwise turn the whole model NaN inside
     a fused epoch where no host can intervene."""
-    norm = global_norm(tree)
-    scale = jnp.where(jnp.isfinite(norm),
-                      jnp.minimum(1.0, max_norm / (norm + 1e-6)), 0.0)
-    return jax.tree.map(lambda x: jnp.where(jnp.isfinite(norm), x * scale, 0.0),
+    scale, norm, finite = clip_scale(tree, max_norm)
+    return jax.tree.map(lambda x: jnp.where(finite, x * scale, 0.0),
                         tree), norm
 
 
@@ -44,10 +54,8 @@ def clip_scale(tree, max_norm: float):
     WITHOUT materializing a scaled pytree. The fused optimizers below fold
     ``scale`` into their update so each param/grad leaf is read once and
     written once per step (VERDICT r4 weak #1)."""
-    norm = global_norm(tree)
-    finite = jnp.isfinite(norm)
-    scale = jnp.where(finite, jnp.minimum(1.0, max_norm / (norm + 1e-6)), 0.0)
-    return scale, norm, finite
+    return scale_from_sumsq(
+        sum(jnp.sum(jnp.square(x)) for x in jax.tree.leaves(tree)), max_norm)
 
 
 def _eff_grad(g, scale, finite):
