@@ -12,9 +12,11 @@ What's measured:
   the flagship Yahoo configuration (LSTM 512/1024/1024, nz 32, vocab 20k,
   batch 32) over a Yahoo-like synthetic corpus (offline box — the real
   corpora are not fetchable; lengths drawn to match Yahoo's ~80-token
-  average, SURVEY.md §6) — best of three 3-epoch windows, kept as the
-  headline for r01..r04 comparability (the tunnel stalls host-side; the
-  best window is the estimate least polluted by it).
+  average, SURVEY.md §6) — best of three 3-epoch windows (r01..r04 used
+  best of TWO; tunnel noise is one-sided, so the extra window can only
+  tighten the same from-below estimate, never inflate past true device
+  throughput). The best window is the estimate least polluted by
+  host-side tunnel stalls.
 - ``median_steps_per_sec``: median of the same windows — the
   variance-honest wall-clock number (VERDICT r4 weak #2).
 - ``device_steps_per_sec`` / ``device_mfu``: trace-derived — a
@@ -137,6 +139,34 @@ def analytic_image_flops_per_step(cfg) -> float:
     return 3 * 2 * macs * cfg.batch_size
 
 
+def build_image_bench(n_batches: int, use_pallas: bool = True):
+    """ONE construction of the OmniGlot bench harness (synthetic
+    RandomState(3) pool, ResNet+PixelCNN VAE, fused-epoch program with the
+    in-graph binarization loss) — shared by bench.py's image section and
+    experiments/profile_trace.py's capture_image, so the traced dossier and
+    the benched number can never silently de-correlate (r5 review).
+
+    Returns (cfg, pool, vae, params, epoch_fn, opt_state).
+    """
+    import jax
+
+    from vae_lagging_encoder_tpu.config import get_config
+    from vae_lagging_encoder_tpu.data.pool import ImagePool
+    from vae_lagging_encoder_tpu.models import build_image_vae
+    from vae_lagging_encoder_tpu.train import make_train_epoch
+    from vae_lagging_encoder_tpu.train.epoch import make_image_loss_fn
+
+    cfg = get_config("omniglot", use_pallas=use_pallas)
+    imgs = np.random.RandomState(3).rand(
+        n_batches * cfg.batch_size, *cfg.img_size).astype(np.float32)
+    pool = ImagePool(imgs, cfg.batch_size)
+    vae = build_image_vae(cfg)
+    params = vae.init(jax.random.PRNGKey(cfg.seed))
+    epoch_fn, opt_init = make_train_epoch(
+        vae, pool, cfg, loss_fn=make_image_loss_fn(vae, train=True))
+    return cfg, pool, vae, params, epoch_fn, opt_init(params)
+
+
 def main() -> None:
     # The tunneled TPU worker occasionally crashes/restarts mid-run; retry
     # once, then fall back to the scan LSTM path so the driver always gets
@@ -205,14 +235,18 @@ def _run(use_pallas: bool) -> None:
 
     # warmup epoch (compile)
     params, opt_state, kl_w, _ = run_epoch(params, opt_state, jnp.float32(0.1), 0)
-    # timed epochs — three windows of 3 (not one short window): at ~170
-    # steps/s one epoch is only ~0.6 s of device time, so a short window
-    # lets per-dispatch tunnel jitter move the headline by ±5%; and the
-    # tunnel occasionally STALLS for tens of seconds (measured: an
-    # identical-work run at 46 vs 205 steps/s). The headline stays the
-    # best window (r01..r04 comparability; least host-pollution); the
-    # MEDIAN is emitted alongside as the variance-honest wall number
-    # (VERDICT r4 weak #2).
+    # timed epochs — three windows of 3 (r01..r04 used two; the extra
+    # window is a variance measure, VERDICT r4 weak #2): at ~170 steps/s
+    # one epoch is only ~0.6 s of device time, so a short window lets
+    # per-dispatch tunnel jitter move the headline by ±5%; and the tunnel
+    # occasionally STALLS for tens of seconds (measured: an identical-work
+    # run at 46 vs 205 steps/s). The headline stays the best window —
+    # tunnel noise is one-sided (it only ADDS wall time to deterministic
+    # device work), so max-of-N approaches true device throughput from
+    # BELOW; max-of-3 vs r01..r04's max-of-2 can only tighten the same
+    # estimate, never cross it. The MEDIAN is emitted alongside as the
+    # variance-honest wall number, and device_steps_per_sec (trace-derived,
+    # below) is the session-reproducible headline.
     window_sps = []
     for w in range(3):
         t0 = time.time()
@@ -308,19 +342,8 @@ def _run(use_pallas: bool) -> None:
     # random pixel probabilities stand in for the corpus (the binarization
     # draw runs either way). First driver-recorded image number (r2/r3
     # hand-measured it at ~259 steps/s but never emitted it).
-    from vae_lagging_encoder_tpu.data.pool import ImagePool
-    from vae_lagging_encoder_tpu.models import build_image_vae
-    from vae_lagging_encoder_tpu.train.epoch import make_image_loss_fn
-
-    icfg = get_config("omniglot", use_pallas=use_pallas)
-    imgs = np.random.RandomState(3).rand(
-        2000, *icfg.img_size).astype(np.float32)
-    ipool = ImagePool(imgs, icfg.batch_size)
-    ivae = build_image_vae(icfg)
-    iparams = ivae.init(jax.random.PRNGKey(icfg.seed))
-    iepoch, iopt_init = make_train_epoch(
-        ivae, ipool, icfg, loss_fn=make_image_loss_fn(ivae, train=True))
-    iopt = iopt_init(iparams)
+    icfg, ipool, ivae, iparams, iepoch, iopt = build_image_bench(
+        40, use_pallas=use_pallas)  # 40 x 50 = the 2000-image pool of r01..r04
     iorder = jnp.arange(ipool.num_batches, dtype=jnp.int32)
 
     def run_image_epoch(iparams, iopt, seed):

@@ -103,21 +103,11 @@ def capture_image(steps: int, trace_root: str) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     import bench
-    from vae_lagging_encoder_tpu.config import get_config
-    from vae_lagging_encoder_tpu.data.pool import ImagePool
-    from vae_lagging_encoder_tpu.models import build_image_vae
-    from vae_lagging_encoder_tpu.train import make_train_epoch
-    from vae_lagging_encoder_tpu.train.epoch import make_image_loss_fn
 
-    cfg = get_config("omniglot")
-    imgs = np.random.RandomState(3).rand(
-        steps * cfg.batch_size, *cfg.img_size).astype(np.float32)
-    pool = ImagePool(imgs, cfg.batch_size)
-    vae = build_image_vae(cfg)
-    params = vae.init(jax.random.PRNGKey(cfg.seed))
-    epoch_fn, opt_init = make_train_epoch(
-        vae, pool, cfg, loss_fn=make_image_loss_fn(vae, train=True))
-    opt_state = opt_init(params)
+    # the SAME harness bench.py's image section times (shared builder —
+    # the dossier must trace exactly what the benched number measured)
+    cfg, pool, vae, params, epoch_fn, opt_state = bench.build_image_bench(
+        n_batches=steps)
     order = jnp.arange(pool.num_batches, dtype=jnp.int32)[:steps]
 
     def run(params, opt_state, seed):

@@ -256,6 +256,13 @@ def test_iw_batch_divisibility_guard(setup):
         run_training(bad, vae, params, pool, pool, pool, Logger())
     with pytest.raises(SystemExit, match="divisible"):
         run_final_eval(bad, vae, params, pool, Logger())
+    # iw_nsamples <= iw_batch must PASS the guard: the estimators clamp
+    # the chunk to min(iw_batch, iw_nsamples) and run one chunk, so e.g.
+    # `--eval --iw_nsamples 10` under a config default iw_batch=100 is a
+    # valid (and common) quick-eval invocation (r5 review)
+    ok = tiny_cfg(iw_nsamples=5, iw_batch=100)
+    r = run_final_eval(ok, vae, params, pool, Logger())
+    assert np.isfinite(r["iw_nll"])
 
 
 def test_checkpoint_roundtrip(tmp_path, setup):
@@ -359,7 +366,7 @@ def test_midepoch_autosave_resume_is_exact(tmp_path):
                        val_data=str(root / "valid.txt"),
                        test_data=str(root / "test.txt"), epochs=3,
                        aggressive=True, burn_max_iters=4, burn_window=2,
-                       epoch_segment=2, autosave_niter=1,
+                       epoch_segment=2, autosave_niter=2,
                        save_path=str(run_dir / "m.ckpt"))
         train, val, test = load_text_datasets(cfg)
         mk = lambda d: BucketedPool(d.create_data_batch(cfg.batch_size,
@@ -373,8 +380,9 @@ def test_midepoch_autosave_resume_is_exact(tmp_path):
     cfg, vae, params, tr, va, te = make(d1)
     full = run_training(cfg, vae, params, tr, va, te, Logger())
 
-    # interrupted at a mid-epoch segment (7 batches/epoch, segments of 2:
-    # 4 per epoch -> stopping after 5 is inside epoch 1), then resumed
+    # interrupted at a mid-epoch segment (8 batches/epoch, segments of 2 —
+    # autosave_niter=2 so the crash-loss cap keeps the explicit segment at 2:
+    # 4 segments per epoch -> stopping after 5 is inside epoch 1), then resumed
     d2 = tmp_path / "resumed"; d2.mkdir()
     cfg2, vae2, params2, tr2, va2, te2 = make(d2)
     r = run_training(cfg2, vae2, params2, tr2, va2, te2, Logger(),

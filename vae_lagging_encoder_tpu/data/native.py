@@ -72,11 +72,20 @@ def _load():
     # NEWEST-mtime first so a stale-but-loadable plain .so cannot shadow a
     # freshly built pip extension (ADVICE r4).
     import glob
+    def _mtime(p):
+        # a candidate deleted/replaced between the isfile filter and this
+        # sort must not crash the host pipeline — sort it last; the CDLL
+        # loop below then skips it via its own OSError handler
+        try:
+            return os.path.getmtime(p)
+        except OSError:
+            return float("-inf")
+
     cands = sorted(
         {p for p in (_SO, *glob.glob(
             os.path.join(os.path.dirname(__file__), "_textproc*.so")))
          if os.path.isfile(p)},
-        key=os.path.getmtime, reverse=True)
+        key=_mtime, reverse=True)
     if not cands:
         if not build():
             return None

@@ -107,9 +107,12 @@ def run_training(cfg: ExperimentConfig, vae, params, train_pool, val_pool,
     if cfg.resume and not cfg.load_path:
         raise SystemExit("--resume requires --load_path (a checkpoint to "
                          "continue from)")
-    if cfg.iw_nsamples % cfg.iw_batch:
+    if (cfg.iw_nsamples > cfg.iw_batch
+            and cfg.iw_nsamples % cfg.iw_batch):
         # validate NOW: vae.nll_iw asserts this, but only in the FINAL eval
-        # — failing there would discard the results of an hours-long run
+        # — failing there would discard the results of an hours-long run.
+        # iw_nsamples <= iw_batch is always fine: the estimators clamp the
+        # chunk to min(iw_batch, iw_nsamples) and run one chunk.
         raise SystemExit(
             f"--iw_nsamples {cfg.iw_nsamples} must be divisible by "
             f"--iw_batch {cfg.iw_batch} (the IW estimator runs in "
@@ -495,11 +498,13 @@ def run_final_eval(cfg: ExperimentConfig, vae, params, pool, log: Logger,
     inside ELBO and IW-NLL (``parallel.tp``), so the suite's FLOPs-heaviest
     path scales over tp instead of replicating (VERDICT r4 weak #4).
     """
-    if cfg.iw_nsamples % cfg.iw_batch:
+    if (cfg.iw_nsamples > cfg.iw_batch
+            and cfg.iw_nsamples % cfg.iw_batch):
         # validate FIRST (same guard as run_training): the IW reducer only
         # asserts this at its own trace, AFTER the ELBO/MI/AU passes —
         # failing there would discard hours of completed eval work on a
-        # large test set when `--eval --iw_batch N` doesn't divide
+        # large test set when `--eval --iw_batch N` doesn't divide.
+        # iw_nsamples <= iw_batch always works (one clamped chunk).
         raise SystemExit(
             f"--iw_nsamples {cfg.iw_nsamples} must be divisible by "
             f"--iw_batch {cfg.iw_batch} (the IW estimator runs in "
