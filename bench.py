@@ -5,6 +5,7 @@ Prints ONE JSON line:
      "median_steps_per_sec": N, "device_steps_per_sec": N,
      "aggressive_steps_per_sec": N, "aggressive_inner_steps": N,
      "beam_decode_sents_per_sec": N, "image_train_steps_per_sec": N,
+     "iwnll_sents_per_sec": N, "iwnll_mfu": N,
      "mfu": N, "device_mfu": N, "image_mfu": N}
 
 What's measured:
@@ -33,6 +34,10 @@ What's measured:
   (ResNet encoder + PixelCNN decoder, on-device dynamic binarization)
   through the same fused-epoch program, with its own analytic conv FLOPs
   model (VERDICT r4 weak #5).
+- ``iwnll_sents_per_sec`` / ``iwnll_mfu``: the 500-sample
+  importance-weighted NLL evaluator (SURVEY.md §3.3 — the repo's most
+  FLOPs-per-example program, and the reference's entire final-eval
+  budget) over a 320-sentence corpus slice; forward-only FLOPs model.
 
 Training runs as the fused whole-epoch XLA program the real CLI uses —
 including the Pallas VMEM-resident LSTM kernel and the fused
@@ -103,6 +108,22 @@ def analytic_flops(cfg, vocab_size: int, pool, start: int = 0,
     positions = sum(pool.arrays[b][0].shape[1] * pool.arrays[b][0].shape[2]
                     for b, _ in sl)
     return 3 * per_token * positions, len(sl)
+
+
+def analytic_iwnll_flops(cfg, vocab_size: int, pool, nsamples: int,
+                         ns: int) -> float:
+    """Total model FLOPs of one IW-NLL pass over ``pool`` (forward-only:
+    the estimator never differentiates). Per padded token position the
+    encoder LSTM runs once per chunk (nsamples/ns chunks — each chunk
+    re-encodes x to sample its z's, <ref>vae.py §nll_iw) and the decoder
+    LSTM + vocab projection run once per importance sample (nsamples)."""
+    per_token_enc = 2 * (cfg.ni + cfg.enc_nh) * 4 * cfg.enc_nh
+    per_token_dec = 2 * ((cfg.ni + cfg.nz + cfg.dec_nh) * 4 * cfg.dec_nh
+                         + cfg.dec_nh * vocab_size)
+    positions = sum(arrs[0].shape[0] * arrs[0].shape[1] * arrs[0].shape[2]
+                    for arrs in pool.arrays)
+    n_chunks = -(-nsamples // ns)
+    return positions * (n_chunks * per_token_enc + nsamples * per_token_dec)
 
 
 def analytic_image_flops_per_step(cfg) -> float:
@@ -379,6 +400,27 @@ def _run(use_pallas: bool) -> None:
                                        max_len=100)
         beam_sps = max(beam_sps, 32 / (time.time() - t0))
 
+    # --- IW-NLL eval path: the 500-sample importance-weighted NLL, the
+    # most FLOPs-per-example program in the repo (SURVEY.md §3.3) and the
+    # one the reference spends its entire final-eval budget on. Timed over
+    # a 320-sentence slice of the same corpus (same vocab, same buckets —
+    # throughput depends only on shapes); forward-only FLOPs model. The
+    # reducer's device_get inside iwnll_fn forces completion, so no extra
+    # sync is needed (same tunnel trap as the epochs above).
+    from vae_lagging_encoder_tpu.train.epoch import make_iwnll_fn
+
+    iw_data = MonoTextData(sentences=sents[:320], vocab=data.vocab)
+    iw_pool = BucketedPool(iw_data.create_data_batch(BATCH, cfg.length_buckets))
+    iw_fn = make_iwnll_fn(vae, iw_pool, nsamples=500, ns=100)
+    iw_fn(params, jax.random.PRNGKey(7))  # compile
+    iw_sps = 0.0
+    iw_flops = analytic_iwnll_flops(cfg, len(data.vocab), iw_pool, 500, 100)
+    for i in range(2):
+        t0 = time.time()
+        res = iw_fn(params, jax.random.PRNGKey(8 + i))
+        iw_sps = max(iw_sps, res["n_sents"] / (time.time() - t0))
+    iw_mfu = iw_sps / res["n_sents"] * iw_flops / V5E_PEAK_FLOPS
+
     print(json.dumps({
         "metric": "yahoo_plain_vae_train_steps_per_sec_per_chip",
         "value": round(sps, 2),
@@ -393,6 +435,8 @@ def _run(use_pallas: bool) -> None:
         "aggressive_inner_steps": inner,
         "beam_decode_sents_per_sec": round(beam_sps, 1),
         "image_train_steps_per_sec": round(img_sps, 2),
+        "iwnll_sents_per_sec": round(iw_sps, 2),
+        "iwnll_mfu": round(iw_mfu, 4),
         # model-FLOPs utilization: analytic FLOPs/step (BASELINE.md
         # accounting) x steps/s over the v5e bf16 peak
         "mfu": round(sps * flops_per_step / V5E_PEAK_FLOPS, 4),

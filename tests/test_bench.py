@@ -42,6 +42,32 @@ def test_analytic_text_flops_positive_and_slice_consistent():
     assert n_part == 2 and 0 < part < total
 
 
+def test_analytic_iwnll_flops_model():
+    """Forward-only IW FLOPs: decoder term scales with nsamples, encoder
+    term with ceil(nsamples/ns) chunks — cross-checked by hand at tiny
+    dims so bench.py's iwnll_mfu stays reproducible."""
+    from vae_lagging_encoder_tpu.config import get_config
+    from vae_lagging_encoder_tpu.data import BucketedPool, MonoTextData
+
+    cfg = get_config("synthetic")
+    sents = [[f"w{i % 40}" for i in range(4 + j % 9)] for j in range(64)]
+    data = MonoTextData(sentences=sents)
+    pool = BucketedPool(data.create_data_batch(8, cfg.length_buckets))
+    V = len(data.vocab)
+    positions = sum(a[0].shape[0] * a[0].shape[1] * a[0].shape[2]
+                    for a in pool.arrays)
+    enc_tok = 2 * (cfg.ni + cfg.enc_nh) * 4 * cfg.enc_nh
+    dec_tok = 2 * ((cfg.ni + cfg.nz + cfg.dec_nh) * 4 * cfg.dec_nh
+                   + cfg.dec_nh * V)
+    got = bench.analytic_iwnll_flops(cfg, V, pool, nsamples=500, ns=100)
+    assert got == positions * (5 * enc_tok + 500 * dec_tok)
+    # one chunk when ns >= nsamples; ceil on a non-divisor
+    assert (bench.analytic_iwnll_flops(cfg, V, pool, 50, 100)
+            == positions * (1 * enc_tok + 50 * dec_tok))
+    assert (bench.analytic_iwnll_flops(cfg, V, pool, 150, 100)
+            == positions * (2 * enc_tok + 150 * dec_tok))
+
+
 def test_bench_corpus_shape():
     sents = bench.build_bench_corpus()
     assert len(sents) == bench.NUM_SENTS
