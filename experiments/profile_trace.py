@@ -129,6 +129,53 @@ def capture_image(steps: int, trace_root: str) -> dict:
             "device": str(jax.devices()[0])}
 
 
+def capture_iwnll(trace_root: str, sents: int = 320) -> dict:
+    """Trace one 500-sample IW-NLL pass over a ``sents``-sentence slice of
+    the bench corpus — the eval third of the perf dossier (the program
+    bench.py times as ``iwnll_sents_per_sec``/``iwnll_mfu``; the
+    reference's entire final-eval budget, SURVEY.md §3.3). Same slice
+    construction as bench.py's IW section, so the traced program is
+    exactly the benched one."""
+    import jax
+    import numpy as np  # noqa: F401 — parity with the sibling captures
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+    from vae_lagging_encoder_tpu.config import get_config
+    from vae_lagging_encoder_tpu.data import BucketedPool, MonoTextData
+    from vae_lagging_encoder_tpu.models import build_text_vae
+    from vae_lagging_encoder_tpu.train.epoch import make_iwnll_fn
+
+    cfg = get_config("yahoo")
+    corpus = bench.build_bench_corpus()
+    data = MonoTextData(sentences=corpus)
+    iw_data = MonoTextData(sentences=corpus[:sents], vocab=data.vocab)
+    pool = BucketedPool(iw_data.create_data_batch(bench.BATCH,
+                                                  cfg.length_buckets))
+    vae = build_text_vae(cfg, len(data.vocab))
+    params = vae.init(jax.random.PRNGKey(cfg.seed))
+    iw_fn = make_iwnll_fn(vae, pool, nsamples=500, ns=100)
+
+    res = iw_fn(params, jax.random.PRNGKey(0))        # compile
+    t0 = time.time()
+    res = iw_fn(params, jax.random.PRNGKey(1))        # steady-state wall
+    wall_s = time.time() - t0                         # iw_fn device_gets
+    with jax.profiler.trace(trace_root):
+        iw_fn(params, jax.random.PRNGKey(2))
+    flops = bench.analytic_iwnll_flops(cfg, len(data.vocab), pool,
+                                       nsamples=500, ns=100)
+    # "step" = one 32-sentence IW batch (each runs the 500-sample
+    # estimator end to end); forward-only FLOPs model, BASELINE.md
+    return {"outer_steps": pool.num_batches, "inner_steps": 0,
+            "total_steps": pool.num_batches, "aggressive": False,
+            "iwnll": True, "n_sents": res["n_sents"],
+            "wall_s_untraced": wall_s,
+            "flops_per_step": flops / pool.num_batches,
+            "platform": jax.devices()[0].platform,
+            "device": str(jax.devices()[0])}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=32)
@@ -142,6 +189,10 @@ def main() -> None:
     ap.add_argument("--image", action="store_true",
                     help="trace the OmniGlot (ResNet+PixelCNN) fused epoch "
                          "instead of the text flagship")
+    ap.add_argument("--iwnll", action="store_true",
+                    help="trace the 500-sample IW-NLL evaluator over a "
+                         "320-sentence slice (the program bench.py times "
+                         "as iwnll_sents_per_sec)")
     ap.add_argument("--out", type=str, default="plot_data/profile_r4")
     ap.add_argument("--trace_root", type=str, default="/tmp/profile_flagship")
     ap.add_argument("--parse_only", action="store_true",
@@ -154,7 +205,21 @@ def main() -> None:
                                                          render_dossier)
 
     if args.parse_only:
+        # Re-distill without a TPU run: reuse the capture metadata (mode,
+        # FLOPs model, untraced wall) from the previous summary.json so the
+        # re-rendered dossier keeps its divisors and headers.
         meta = {}
+        prev = os.path.join(args.out, "summary.json")
+        if os.path.exists(prev):
+            with open(prev) as fh:
+                full = json.load(fh)
+            meta = {k: full[k] for k in
+                    ("outer_steps", "inner_steps", "total_steps",
+                     "aggressive", "image", "iwnll", "n_sents",
+                     "wall_s_untraced", "flops_per_step", "platform",
+                     "device") if k in full}
+    elif args.iwnll:
+        meta = capture_iwnll(args.trace_root)
     elif args.image:
         meta = capture_image(args.steps, args.trace_root)
     else:
@@ -171,14 +236,20 @@ def main() -> None:
 
     mode = ("aggressive" if summary.get("aggressive")
             else "image (ResNet+PixelCNN)" if summary.get("image")
+            else "IW-NLL eval (500-sample)" if summary.get("iwnll")
             else "plain")
     inner = summary.get("inner_steps", 0)
+    if summary.get("iwnll"):
+        where = (f" batches ({summary.get('n_sents', 0):.0f} sentences) in "
+                 "ONE reducer dispatch")
+    else:
+        where = (f" training steps in ONE fused-epoch dispatch (batches "
+                 f"{args.start}..{args.start + args.steps - 1})")
     header = [
         f"- device: {summary.get('device', '?')}, "
-        f"{meta.get('outer_steps', args.steps)} {mode} training steps"
+        f"{meta.get('outer_steps', args.steps)} {mode}"
         + (f" (+{inner} inner encoder burns)" if inner else "")
-        + f" in ONE fused-epoch dispatch (batches {args.start}.."
-        f"{args.start + args.steps - 1})",
+        + where,
     ]
     if "wall_s_untraced" in summary:
         header.append(
@@ -192,9 +263,9 @@ def main() -> None:
         header.append(
             f"- analytic {gf:.0f} GF/step → device-side {tfs:.0f} TFLOP/s "
             f"= **{tfs / 197:.2f} device MFU** (v5e bf16 peak 197)")
-    md = render_dossier(summary,
-                        title="Flagship fused-epoch profiler dossier",
-                        header_lines=tuple(header))
+    title = ("IW-NLL evaluator profiler dossier" if summary.get("iwnll")
+             else "Flagship fused-epoch profiler dossier")
+    md = render_dossier(summary, title=title, header_lines=tuple(header))
     with open(os.path.join(args.out, "DOSSIER.md"), "w") as fh:
         fh.write(md)
     print(md)

@@ -159,3 +159,46 @@ def test_multi_device_trace_reports_per_device_mean(tmp_path):
     assert row["ms_total"] == pytest.approx(0.04)
     assert row["calls"] == 1 and row["gb_accessed"] == pytest.approx(0.008)
     assert row["pct_device"] == pytest.approx(100.0)
+
+
+def test_parse_only_reuses_capture_meta(tmp_path):
+    """experiments/profile_trace.py --parse_only must re-render an existing
+    dossier WITHOUT losing the capture metadata (mode flags, FLOPs model,
+    untraced wall) recorded in the out dir's summary.json — a parse_only
+    re-render previously reset eff_steps to the default --steps and
+    relabeled an IW-NLL trace as 32 plain training steps (round-5 fix)."""
+    import subprocess
+    import sys
+
+    ev = (_meta(3, 2, "/device:TPU:0", "XLA Modules")
+          + _meta(3, 3, "/device:TPU:0", "XLA Ops")
+          + [{"ph": "X", "pid": 3, "tid": 2, "name": "jit_f(1)",
+              "ts": 0, "dur": 2600, "args": {}},
+             {"ph": "X", "pid": 3, "tid": 3, "name": "matmul.1",
+              "ts": 0, "dur": 2600,
+              "args": {"hlo_category": "convolution fusion"}}])
+    trace_root = _write_trace(tmp_path, ev)
+    out = tmp_path / "out"
+    out.mkdir()
+    meta = {"outer_steps": 13, "inner_steps": 0, "total_steps": 13,
+            "aggressive": False, "iwnll": True, "n_sents": 320.0,
+            "wall_s_untraced": 2.6, "flops_per_step": 1.97e10,
+            "platform": "tpu", "device": "TPU v5 lite0"}
+    with open(out / "summary.json", "w") as fh:
+        json.dump(meta, fh)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "experiments", "profile_trace.py"),
+         "--parse_only", "--trace_root", trace_root, "--out", str(out)],
+        cwd=repo, capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    md = (out / "DOSSIER.md").read_text()
+    assert "IW-NLL evaluator profiler dossier" in md
+    assert "13 IW-NLL eval (500-sample) batches (320 sentences)" in md
+    with open(out / "summary.json") as fh:
+        s = json.load(fh)
+    # divisor = total_steps from the reused meta, NOT the --steps default
+    assert s["total_steps"] == 13
+    assert s["device_busy_ms"] == pytest.approx(2.6)
+    # 19.7 GF / (2.6ms/13 steps) = 98.5 TF/s -> MFU 0.50 in the header
+    assert "0.50 device MFU" in md
